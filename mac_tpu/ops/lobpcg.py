@@ -1,0 +1,169 @@
+"""Preconditioned block eigensolver for the Fiedler pair (lambda_2, v_2).
+
+This owns the role the reference delegates to NetworkX's private
+`_tracemin_fiedler` with SuperLU/CHOLMOD inner solves (reference:
+mac/utils/fiedler.py:42, mac/utils/cholesky.py:137-240). The TPU-native
+design differs structurally:
+
+  * Nullspace handling: rather than repeatedly projecting onto 1^perp (the
+    reference's deflation, fragile when a jitted QR basis degenerates), we
+    solve for the *smallest* eigenpairs of the rank-one-corrected operator
+
+        A' = L + (c / n) * 1 1^T,   c = ||L||_inf >= lambda_max(L),
+
+    which moves the constant mode's eigenvalue from 0 to c. Every Ritz value
+    of A' is then >= lambda_2(L) by Courant-Fischer, so spurious directions
+    introduced by QR on a near-degenerate basis can never masquerade as the
+    Fiedler value. The correction applies in O(nq) (a column-mean broadcast).
+
+  * Inner solves are replaced by a preconditioner application (exact
+    path-graph solve via prefix sums, or Jacobi — see mac_tpu.ops.precond),
+    inside a single `lax.while_loop`: static shapes, no host round-trips.
+
+  * Warm starting: the previous eigenvector block X is threaded in/out so
+    Frank-Wolfe iterations reuse spectral information (the reference's
+    Cache, implemented so it actually engages — see SURVEY.md §3.1).
+
+Convergence criterion matches the reference tracemin:
+    ||A x_1 - lambda_1 x_1||_1 / ||L||_inf < tol
+(reference: mac/utils/cholesky.py:228-230).
+"""
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class FiedlerResult(NamedTuple):
+    lam: jax.Array      # (q,) Ritz values, lam[0] = lambda_2(L)
+    X: jax.Array        # (n, q) Ritz vectors, X[:, 0] = Fiedler vector
+    iters: jax.Array    # () int32 outer iterations used
+    res: jax.Array      # () final residual (reference criterion)
+
+
+def _cholqr(S: jax.Array) -> jax.Array:
+    """One CholeskyQR pass: Q = S @ chol(S^T S + jitter)^-T.
+
+    MXU-friendly (one Gram matmul + tiny Cholesky + triangular solve)
+    and far cheaper to compile and run than Householder QR. The jitter
+    keeps the Cholesky finite on rank-deficient bases (which LOBPCG
+    produces at convergence); the resulting extra directions are harmless
+    because the shifted operator bounds every Ritz value below by
+    lambda_2 (see module docstring)."""
+    G = S.T @ S
+    k = G.shape[0]
+    jitter = jnp.finfo(S.dtype).eps * (jnp.trace(G) + 1.0)
+    R = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=S.dtype), upper=True)
+    Q = jax.scipy.linalg.solve_triangular(R.T, S.T, lower=True).T
+    return Q
+
+
+def _orth(S: jax.Array) -> jax.Array:
+    """Orthonormalize columns via CholeskyQR2 (two passes restore full
+    orthogonality, standard remedy for CholQR's squared conditioning)."""
+    return _cholqr(_cholqr(S))
+
+
+def lobpcg_fiedler(
+    apply_L: Callable[[jax.Array], jax.Array],
+    X0: jax.Array,
+    lnorm: jax.Array,
+    *,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    tol: float = 1e-8,
+    maxiter: int = 1000,
+) -> FiedlerResult:
+    """Compute the q smallest nonzero eigenpairs of a graph Laplacian.
+
+    apply_L: (n, k) -> (n, k) matrix-free Laplacian product (any k).
+    X0:      (n, q) initial block (warm start welcome; q >= 1).
+    lnorm:   scalar ||L||_inf (see lap_inf_norm); also the nullspace shift c.
+    precond: approximate inverse of L restricted to 1^perp; identity if None.
+    """
+    n, q = X0.shape
+    dtype = X0.dtype
+    # An 1e-8 residual is unreachable in f32; clamp so the loop terminates
+    # on convergence rather than maxiter. (documented f32 tolerance)
+    eps = jnp.finfo(dtype).eps
+    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 32 * eps)
+    c = lnorm.astype(dtype)
+
+    def apply_shifted(V):
+        # A'V = LV + (c/n) * 1 (1^T V)
+        return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
+
+    if precond is None:
+        precond = lambda B: B
+
+    def project(V):
+        # Remove the constant-mode component (keeps the search in 1^perp;
+        # the shift makes this a performance nicety, not a correctness need).
+        return V - jnp.mean(V, axis=0, keepdims=True)
+
+    # --- init: Rayleigh-Ritz within the (projected, orthonormalized) X0.
+    X = _orth(project(X0))
+    AX = apply_shifted(X)
+    H = X.T @ AX
+    lam, Y = jnp.linalg.eigh((H + H.T) / 2)
+    X = X @ Y
+    AX = AX @ Y
+    # Previous-iterate block (plays the role of LOBPCG's P direction:
+    # span{X_new, W, X_old} == span{X_new, W, P}). Seed with a deterministic
+    # pseudo-random block so the first basis is full rank.
+    key = jax.random.PRNGKey(7)
+    Xprev = project(jax.random.normal(key, (n, q), dtype=dtype))
+
+    def residual(lam, X, AX):
+        r = AX[:, 0] - lam[0] * X[:, 0]
+        return jnp.sum(jnp.abs(r)) / lnorm.astype(dtype)
+
+    def cond(carry):
+        X, AX, lam, Xprev, it, res = carry
+        return jnp.logical_and(it < maxiter, res > eff_tol)
+
+    def body(carry):
+        X, AX, lam, Xprev, it, res = carry
+        R = AX - X * lam[None, :]
+        W = project(precond(R))
+        S = jnp.concatenate([X, W, Xprev], axis=1)  # (n, 3q)
+        Q = _orth(S)
+        AQ = apply_shifted(Q)
+        H = Q.T @ AQ
+        H = (H + H.T) / 2
+        evals, Y = jnp.linalg.eigh(H)
+        Cmat = Y[:, :q]
+        lam_new = evals[:q]
+        X_new = Q @ Cmat
+        AX_new = AQ @ Cmat
+        res_new = residual(lam_new, X_new, AX_new)
+        return (X_new, AX_new, lam_new, X, it + 1, res_new)
+
+    it0 = jnp.asarray(0, jnp.int32)
+    res0 = residual(lam, X, AX)
+    X, AX, lam, Xprev, it, res = jax.lax.while_loop(
+        cond, body, (X, AX, lam, Xprev, it0, res0)
+    )
+    return FiedlerResult(lam=lam, X=X, iters=it, res=res)
+
+
+def dense_fiedler(L_dense: jax.Array, q: int) -> FiedlerResult:
+    """Exact Fiedler pair via dense eigh — used for tiny graphs (n <= ~256)
+    and as a test oracle. Returns eigenpairs 2..q+1 (skipping the constant
+    mode), matching the block shape of lobpcg_fiedler."""
+    n = L_dense.shape[0]
+    evals, V = jnp.linalg.eigh((L_dense + L_dense.T) / 2)
+    # For connected graphs eigenvalue 0 (constant mode) is evals[0]; for
+    # disconnected graphs lambda_2 = 0 as well. Either way the Fiedler
+    # value is evals[1] and the block is columns 1..q.
+    hi = min(1 + q, n)
+    lam = evals[1:hi]
+    X = V[:, 1:hi]
+    pad = q - lam.shape[0]
+    if pad > 0:
+        lam = jnp.concatenate([lam, jnp.full((pad,), evals[-1], lam.dtype)])
+        X = jnp.concatenate([X, jnp.tile(V[:, -1:], (1, pad))], axis=1)
+    return FiedlerResult(
+        lam=lam, X=X, iters=jnp.asarray(0, jnp.int32), res=jnp.asarray(0.0, L_dense.dtype)
+    )

@@ -1,0 +1,90 @@
+"""Parallel symmetric tridiagonal solver via associative scans.
+
+This is the TPU-native stand-in for a sparse direct factorization: the
+tridiagonal part of a pose-graph Laplacian (full diagonal + the odometry
+chain's off-diagonals) captures most of its ill-conditioning, and an SPD
+tridiagonal system solves in O(log n) depth with three
+`jax.lax.associative_scan` passes:
+
+  1. LDL^T pivots d'_i = d_i - e_{i-1}^2 / d'_{i-1}: a continued-fraction
+     (Moebius) recurrence, composed projectively as normalized 2x2 matrix
+     products.
+  2. Unit-lower forward substitution y_i = b_i - l_i y_{i-1}: an affine
+     recurrence scan.
+  3. Backward substitution on L^T: the same scan reversed.
+
+Replaces the role of CHOLMOD/SuperLU factorizations in the reference
+(mac/utils/cholesky.py:107-134; SuperLU inside NetworkX tracemin at
+mac/utils/fiedler.py:42) as the preconditioner backbone for the eigensolver
+and CG (see mac_tpu.ops.lobpcg / mac_tpu.ops.cg).
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TridiagFactor(NamedTuple):
+    """LDL^T factor of an SPD tridiagonal matrix: T = L diag(dp) L^T with
+    unit-lower-bidiagonal L, subdiagonal l."""
+    dp: jax.Array  # (n,) pivots
+    l: jax.Array   # (n,) subdiagonal of L; l[0] = 0
+
+
+def _mobius_combine(a, b):
+    """Compose projective 2x2 maps (normalized to avoid over/underflow).
+
+    Operands are (..., 2, 2); `b` follows `a` in sequence order, i.e. the
+    composite is b @ a.
+    """
+    m = jnp.einsum("...ij,...jk->...ik", b, a)
+    scale = jnp.max(jnp.abs(m), axis=(-2, -1), keepdims=True)
+    scale = jnp.where(scale == 0, 1.0, scale)
+    return m / scale
+
+
+def _affine_combine(a, b):
+    """Compose affine recurrences y -> coef*y + off; b follows a."""
+    ca, oa = a
+    cb, ob = b
+    return (cb * ca, cb * oa + ob)
+
+
+def tridiag_ldl(d: jax.Array, e: jax.Array) -> TridiagFactor:
+    """LDL^T pivots of the SPD tridiagonal matrix with diagonal d (n,) and
+    off-diagonal e (n-1,). O(log n) depth via a projective scan."""
+    n = d.shape[0]
+    e2 = jnp.concatenate([jnp.zeros((1,), d.dtype), e * e])  # e2[i] = e_{i-1}^2
+    # x_i = d_i - e2_i / x_{i-1}  as  [[d_i, -e2_i], [1, 0]] acting projectively.
+    M = jnp.stack(
+        [
+            jnp.stack([d, -e2], axis=-1),
+            jnp.stack([jnp.ones_like(d), jnp.zeros_like(d)], axis=-1),
+        ],
+        axis=-2,
+    )  # (n, 2, 2)
+    P = jax.lax.associative_scan(_mobius_combine, M, axis=0)
+    # Applied to [1, 0]: x_i = P[i,0,0] / P[i,1,0].
+    dp = P[:, 0, 0] / P[:, 1, 0]
+    l = jnp.concatenate([jnp.zeros((1,), d.dtype), e / dp[:-1]])
+    return TridiagFactor(dp=dp, l=l)
+
+
+def tridiag_solve_factored(f: TridiagFactor, B: jax.Array) -> jax.Array:
+    """Solve T X = B given the LDL^T factor; B is (n, q)."""
+    l = f.l[:, None]
+    # Forward: y_i = b_i - l_i y_{i-1}.
+    coef = jnp.broadcast_to(-l, B.shape)
+    _, y = jax.lax.associative_scan(_affine_combine, (coef, B), axis=0)
+    z = y / f.dp[:, None]
+    # Backward: x_i = z_i - l_{i+1} x_{i+1}: reverse affine scan.
+    lr = jnp.concatenate([-f.l[1:], jnp.zeros((1,), f.l.dtype)])[:, None]
+    coef_r = jnp.broadcast_to(lr, B.shape)[::-1]
+    _, xr = jax.lax.associative_scan(_affine_combine, (coef_r, z[::-1]), axis=0)
+    return xr[::-1]
+
+
+def tridiag_solve(d: jax.Array, e: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve the SPD tridiagonal system (diag d, off-diag e) against (n, q)."""
+    return tridiag_solve_factored(tridiag_ldl(d, e), B)

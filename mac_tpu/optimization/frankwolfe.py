@@ -1,0 +1,113 @@
+"""Frank-Wolfe for maximizing concave functions over simple feasible sets.
+
+Functional, jit-native redesign of the reference's Python loop
+(reference: mac/optimization/frankwolfe.py:10-79): the whole solve is one
+`lax.while_loop` whose carry is an explicit pytree
+
+    (x, u, state, it, done_reason)
+
+so solver state is checkpointable/resumable for free and auxiliary problem
+state (e.g. the Fiedler eigenvector block) is threaded across iterations —
+implementing the warm start the reference intended but never engaged
+(SURVEY.md §3.1; reference mac/solvers/mac.py:114-127).
+
+Termination semantics match the reference exactly: the candidate iterate is
+*not* stepped when a tolerance check fires, i.e. we return the x at which the
+(f, grad) pair was evaluated (reference: frankwolfe.py:62-76).
+"""
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def naive_stepsize(k) -> jax.Array:
+    """Classic 2/(k+2) open-loop step size (reference: frankwolfe.py:7-8)."""
+    return 2.0 / (k + 2.0)
+
+
+def frank_wolfe_with_state(
+    initial: jax.Array,
+    state0,
+    problem: Callable,
+    solve_lp: Callable,
+    stepsize: Optional[Callable] = None,
+    maxiter: int = 50,
+    relative_duality_gap_tol: float = 1e-5,
+    grad_norm_tol: float = 1e-10,
+    verbose: bool = False,
+):
+    """Maximize a concave f via Frank-Wolfe, threading auxiliary state.
+
+    problem(x, state) -> (f, gradf, state'): objective, supergradient, and
+        updated auxiliary state (warm-start data); must be traceable.
+    solve_lp(gradf) -> s: LP oracle over the feasible set.
+    stepsize(x, gradf, s, k) -> gamma in [0, 1]; default 2/(k+2).
+
+    Returns (x, u, state, num_iters) with u the dual upper bound.
+    """
+    if stepsize is None:
+        stepsize = lambda x, g, s, k: naive_stepsize(k)
+
+    x0 = jnp.asarray(initial)
+    dtype = x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def cond(carry):
+        x, u, state, it, done = carry
+        return jnp.logical_and(~done, it < maxiter)
+
+    def body(carry):
+        x, u, state, it, done = carry
+        f, gradf, state_new = problem(x, state)
+        s = solve_lp(gradf)
+        u_new = jnp.minimum(u, f + gradf @ (s - x))
+        if verbose:
+            jax.debug.print(
+                "FW iter {it}: f = {f}, gap = {gap}", it=it, f=f, gap=u_new - f
+            )
+        small_grad = jnp.linalg.norm(gradf) < grad_norm_tol
+        small_gap = (u_new - f) < relative_duality_gap_tol * jnp.abs(f)
+        stop = jnp.logical_or(small_grad, small_gap)
+        gamma = stepsize(x, gradf, s, it).astype(dtype)
+        x_stepped = x + gamma * (s - x)
+        x_new = jnp.where(stop, x, x_stepped)
+        return (x_new, u_new, state_new, it + 1, stop)
+
+    it0 = jnp.asarray(0, jnp.int32)
+    x, u, state, it, done = jax.lax.while_loop(
+        cond, body, (x0, inf, state0, it0, jnp.asarray(False))
+    )
+    return x, u, state, it
+
+
+def frank_wolfe(
+    initial,
+    problem: Callable,
+    solve_lp: Callable,
+    stepsize: Optional[Callable] = None,
+    maxiter: int = 50,
+    relative_duality_gap_tol: float = 1e-5,
+    grad_norm_tol: float = 1e-10,
+    verbose: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stateless Frank-Wolfe with the reference's call signature
+    (problem(x) -> (f, gradf)). Returns (x, u)."""
+
+    def problem_s(x, state):
+        f, g = problem(x)
+        return f, g, state
+
+    x, u, _, _ = frank_wolfe_with_state(
+        jnp.asarray(initial, dtype=jnp.result_type(float, jnp.asarray(initial))),
+        0,
+        problem_s,
+        solve_lp,
+        stepsize=stepsize,
+        maxiter=maxiter,
+        relative_duality_gap_tol=relative_duality_gap_tol,
+        grad_norm_tol=grad_norm_tol,
+        verbose=verbose,
+    )
+    return x, u

@@ -1,0 +1,295 @@
+"""MAC: maximize algebraic connectivity of an edge-budgeted graph.
+
+Top-level solver with the reference's API shape (reference:
+mac/solvers/mac.py:16-225): fix a base edge set, relax the K-subset
+selection of candidate edges to the box [0,1]^m ∩ {|x| <= K}, maximize
+F(x) = lambda_2(L(x)) with Frank-Wolfe, round back to a binary selection.
+
+TPU-native structure (not a port):
+  * One `jax.jit`-compiled Frank-Wolfe `lax.while_loop` per (graph, k)
+    whose inner Fiedler oracle is the preconditioned block eigensolver of
+    mac_tpu.ops.lobpcg; the eigenvector block is threaded through the loop
+    carry, so every iteration after the first warm-starts (the reference's
+    Cache never engaged — SURVEY.md §3.1, reference mac.py:114-127).
+  * Static shapes throughout: edges below `min_selection_weight_tol` are
+    masked to weight zero instead of pruned (reference rebuilds a smaller
+    scipy matrix each iteration, mac.py:74-89).
+  * The per-edge supergradient grad_k = w_k (v_i - v_j)^2 (Eq. (8) of
+    arXiv:2203.13897; reference's O(m) Python loop at mac.py:118-124) is one
+    vectorized gather.
+  * Madow rounding trials are evaluated as a batch via vmapped eigensolves.
+
+Known reference bugs fixed here: the dead warm-start cache (mac.py:127),
+the `w_init` NameError in the fallback path (mac.py:218), and `problem()`
+ignoring the configured fiedler method (mac.py:115).
+"""
+
+import functools
+from dataclasses import dataclass
+from timeit import default_timer as timer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mac_tpu.ops.laplacian import build_operator
+from mac_tpu.ops.precond import extract_chain_weights
+from mac_tpu.optimization import constraints
+from mac_tpu.optimization.frankwolfe import frank_wolfe_with_state
+from mac_tpu.utils import fiedler as _fiedler
+from mac_tpu.utils.graphs import edges_to_arrays, weight_graph_lap_from_edges
+from mac_tpu.utils.rounding import round_madow_base, round_nearest
+
+
+class MAC:
+    """Algebraic-connectivity-maximizing edge selection.
+
+    Parameters mirror the reference ctor (mac/solvers/mac.py:22-72):
+
+    fixed_edges / candidate_edges: lists of `Edge` (or packed (idx, w)
+        array pairs).
+    num_nodes: number of graph nodes.
+    fiedler_method: 'lobpcg' (default; reference names 'tracemin_lu' /
+        'tracemin_cholesky' are accepted and map here), or 'dense'.
+    fiedler_tol: eigensolver residual tolerance.
+    min_selection_weight_tol: selection weights below this are treated as
+        exactly zero (mask, not prune — static shapes).
+    dtype: compute dtype; defaults to float64 under jax_enable_x64 else
+        float32.
+    fiedler_maxiter: outer-iteration cap for the eigensolver.
+    """
+
+    @dataclass
+    class Cache:
+        """Warm-start data threaded between solves (reference mac.py:17-20)."""
+        Q: Optional[np.ndarray] = None
+
+    def __init__(
+        self,
+        fixed_edges,
+        candidate_edges,
+        num_nodes: int,
+        fiedler_method: str = "lobpcg",
+        fiedler_tol: float = 1e-8,
+        min_selection_weight_tol: float = 1e-10,
+        dtype=None,
+        fiedler_maxiter: int = 200,
+        fiedler_inner_iters: int = 16,
+        mesh=None,
+    ):
+        """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
+        the Laplacian product row-blocks across devices
+        (mac_tpu.parallel.sharded.ShardedLaplacian)."""
+        fixed_idx, w_fixed = edges_to_arrays(fixed_edges)
+        cand_idx, w_cand = edges_to_arrays(candidate_edges)
+        n = int(num_nodes)
+        num_edges = fixed_idx.shape[0] + cand_idx.shape[0]
+        # Sanity checks as in the reference (mac.py:46-52).
+        assert (n - 1) <= num_edges
+        assert num_edges <= 0.5 * n * (n - 1)
+
+        if dtype is None:
+            dtype = jnp.zeros(0).dtype
+        self.dtype = dtype
+        self.num_nodes = n
+        self.fixed_idx = fixed_idx
+        self.cand_idx = cand_idx
+        # Host copies (reference exposes .weights / .edge_list for candidates).
+        self.weights = np.asarray(w_cand)
+        self.edge_list = np.asarray(cand_idx)
+
+        self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
+        self._w_cand = jnp.asarray(w_cand, dtype=dtype)
+        all_idx = np.concatenate([fixed_idx, cand_idx], axis=0) if num_edges else fixed_idx
+        self.op = build_operator(all_idx, n)
+
+        chain_w = extract_chain_weights(fixed_idx, w_fixed, n)
+        self._chain_w = None if chain_w is None else jnp.asarray(chain_w, dtype=dtype)
+
+        if fiedler_method in ("tracemin_lu", "tracemin_cholesky", "tracemin"):
+            fiedler_method = "lobpcg"
+        self.fiedler_method = fiedler_method
+        self.fiedler_tol = float(fiedler_tol)
+        self.fiedler_maxiter = int(fiedler_maxiter)
+        self.min_selection_weight_tol = float(min_selection_weight_tol)
+
+        self._q = min(4, n - 1)
+        self._X0 = jnp.asarray(_fiedler.default_block(n, self._q), dtype=dtype)
+
+        # Per-instance compiled entry points (parameterized by static args).
+        self._eval_jit = jax.jit(self._eval_impl)
+        self._eval_many_jit = jax.jit(self._eval_many_impl)
+        self._fw_jit = jax.jit(
+            self._fw_impl, static_argnames=("k", "maxiter", "use_cache", "verbose")
+        )
+
+    # ------------------------------------------------------------------ core
+
+    def _mask(self, x: jax.Array) -> jax.Array:
+        return jnp.where(x > self.min_selection_weight_tol, x, 0.0)
+
+    def _w_all(self, x: jax.Array) -> jax.Array:
+        return jnp.concatenate([self._w_fixed, self._mask(x) * self._w_cand])
+
+    def _fiedler(self, w_all: jax.Array, X: jax.Array):
+        return _fiedler.fiedler_pair_op(
+            self.op,
+            w_all,
+            X,
+            tol=self.fiedler_tol,
+            maxiter=self.fiedler_maxiter,
+            chain_w=self._chain_w,
+            method=self.fiedler_method,
+        )
+
+    def _eval_impl(self, x: jax.Array) -> jax.Array:
+        res = self._fiedler(self._w_all(x), self._X0)
+        return res.lam[0]
+
+    def _eval_many_impl(self, xs: jax.Array) -> jax.Array:
+        return jax.vmap(self._eval_impl)(xs)
+
+    def _problem_impl(self, x, X):
+        res = self._fiedler(self._w_all(x), X)
+        v = res.X[:, 0]
+        ci = self.op.idx[self.fixed_idx.shape[0]:, 0]
+        cj = self.op.idx[self.fixed_idx.shape[0]:, 1]
+        d = v[ci] - v[cj]
+        grad = self._w_cand * d * d
+        return res.lam[0], grad, res.X
+
+    def _fw_impl(
+        self,
+        x0,
+        X0,
+        *,
+        k: int,
+        maxiter: int,
+        relative_duality_gap_tol,
+        grad_norm_tol,
+        use_cache: bool,
+        verbose: bool,
+    ):
+        def problem(x, X):
+            f, grad, Xnew = self._problem_impl(x, X)
+            if not use_cache:
+                Xnew = X0  # reference parity: fresh deterministic block per iter
+            return f, grad, Xnew
+
+        solve_lp = lambda g: constraints.solve_subset_box_lp(g, k)
+        x, u, X, it = frank_wolfe_with_state(
+            x0,
+            X0,
+            problem,
+            solve_lp,
+            maxiter=maxiter,
+            relative_duality_gap_tol=relative_duality_gap_tol,
+            grad_norm_tol=grad_norm_tol,
+            verbose=verbose,
+        )
+        return x, u, X, it
+
+    # ------------------------------------------------------------ public API
+
+    def laplacian(self, x):
+        """Host-side L(x) as scipy CSR, pruning selection weights below
+        `min_selection_weight_tol` (reference: mac.py:74-89)."""
+        x = np.asarray(x)
+        keep = x > self.min_selection_weight_tol
+        idx = np.concatenate([self.fixed_idx, self.cand_idx[keep]], axis=0)
+        w = np.concatenate([np.asarray(self._w_fixed), x[keep] * self.weights[keep]])
+        return weight_graph_lap_from_edges(idx, w, self.num_nodes)
+
+    def evaluate_objective(self, x) -> float:
+        """F(x) = lambda_2(L(x)) (reference: mac.py:91-102)."""
+        x = jnp.asarray(x, dtype=self.dtype)
+        return float(self._eval_jit(x))
+
+    def problem(self, x, cache: Optional["MAC.Cache"] = None):
+        """(F(x), grad F(x)), warm-starting from and updating `cache.Q`
+        (reference: mac.py:104-128 — whose cache update was dead code; this
+        one engages)."""
+        x = jnp.asarray(x, dtype=self.dtype)
+        X = self._X0 if cache is None or cache.Q is None else jnp.asarray(cache.Q, self.dtype)
+        f, grad, Xnew = jax.jit(self._problem_impl)(x, X)
+        if cache is not None:
+            cache.Q = Xnew
+        return float(f), np.asarray(grad)
+
+    def solve(
+        self,
+        k: int,
+        x_init=None,
+        rounding: str = "nearest",
+        fallback: bool = False,
+        max_iters: int = 5,
+        relative_duality_gap_tol: float = 1e-4,
+        grad_norm_tol: float = 1e-8,
+        random_rounding_max_iters: int = 1,
+        verbose: bool = False,
+        return_rounding_time: bool = False,
+        use_cache: bool = True,
+        seed: int = 0,
+    ):
+        """Solve the budgeted edge-selection problem.
+
+        Returns (rounded, unrounded, upper_bound[, rounding_time]) with the
+        reference's semantics (mac/solvers/mac.py:130-225), including the
+        k >= m shortcut and the optional fallback-to-init check (implemented
+        correctly, unlike reference mac.py:218).
+        """
+        m = len(self.weights)
+        k = int(k)
+        if k >= m:
+            result = np.ones(m)
+            obj = self.evaluate_objective(jnp.ones(m, self.dtype))
+            if return_rounding_time:
+                return result, result, obj, 0.0
+            return result, result, obj
+
+        if x_init is None:
+            x_init = np.full(m, k / m)
+        x_init = jnp.asarray(x_init, dtype=self.dtype)
+        assert x_init.shape[0] == m
+
+        x, u, X, it = self._fw_jit(
+            x_init,
+            self._X0,
+            k=k,
+            maxiter=int(max_iters),
+            relative_duality_gap_tol=jnp.asarray(relative_duality_gap_tol, self.dtype),
+            grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
+            use_cache=bool(use_cache),
+            verbose=bool(verbose),
+        )
+        x = jax.block_until_ready(x)
+
+        start = timer()
+        if rounding == "madow":
+            key = jax.random.PRNGKey(seed)
+            R = int(random_rounding_max_iters)
+            if R <= 1:
+                rounded = round_madow_base(x, k, key)
+            else:
+                keys = jax.random.split(key, R)
+                xs = jax.vmap(lambda kk: round_madow_base(x, k, kk))(keys)
+                vals = self._eval_many_jit(xs)
+                rounded = xs[int(jnp.argmax(vals))]
+        else:  # "nearest"
+            rounded = round_nearest(x, k, weights=self._w_cand, break_ties_decimal_tol=10)
+        rounded = jax.block_until_ready(rounded)
+        rounding_time = timer() - start
+
+        if fallback:
+            init_f = self.evaluate_objective(x_init)
+            rounded_f = self.evaluate_objective(rounded)
+            if rounded_f < init_f:
+                rounded = x_init  # fall back to the initial selection
+
+        rounded = np.asarray(rounded)
+        unrounded = np.asarray(x)
+        upper = float(u)
+        if return_rounding_time:
+            return rounded, unrounded, upper, rounding_time
+        return rounded, unrounded, upper

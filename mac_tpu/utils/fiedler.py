@@ -1,0 +1,181 @@
+"""Fiedler-pair front-end: (lambda_2, v_2, X-block) of a graph Laplacian.
+
+Parity surface (reference: mac/utils/fiedler.py:9-44): accepts a host
+(scipy-sparse or dense) Laplacian, a warm-start block X, a method name and a
+tolerance, and returns the 3-tuple (sigma[0], X[:, 0], X) so callers can
+warm-start subsequent solves.
+
+Reference method names 'tracemin_lu' / 'tracemin_cholesky' are accepted and
+dispatch to the TPU-native engine ('lobpcg'; see mac_tpu.ops.lobpcg — there
+is no LU/Cholesky on TPU, the preconditioned block eigensolver owns their
+role). 'dense' forces the exact dense-eigh oracle.
+
+Unlike the reference (which delegates to NetworkX private internals at
+fiedler.py:42), the solver is owned by this repo and fully jitted. It also
+supports disconnected graphs (lambda_2 = 0), the reference's known
+unsupported case (reference tests/utils/test_fiedler.py:43-50).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from mac_tpu.ops.laplacian import (
+    GraphOperator,
+    build_operator,
+    lap_apply,
+    lap_dense,
+    lap_inf_norm,
+    lap_tridiagonal_part,
+)
+from mac_tpu.ops.lobpcg import FiedlerResult, dense_fiedler, lobpcg_fiedler
+from mac_tpu.ops.cg import pcg_fixed
+from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored
+from mac_tpu.ops import precond as _precond
+
+# Graphs at or below this size are solved exactly with dense eigh.
+DENSE_EIGH_MAX_N = 256
+
+_DEFAULT_SEED = 7  # reference quirk preserved: np.random.RandomState(7)
+
+
+def default_block(n: int, q: Optional[int] = None, seed: Optional[int] = None,
+                  dtype=None) -> np.ndarray:
+    """Deterministic initial eigenvector block: q = min(4, n-1) columns of
+    N(0,1), matching the reference's RandomState(7) init
+    (reference: fiedler.py:27-32)."""
+    if q is None:
+        q = min(4, n - 1)
+    rs = np.random.RandomState(_DEFAULT_SEED if seed is None else seed)
+    X = np.asarray(rs.normal(size=(q, n))).T
+    if dtype is not None:
+        X = X.astype(dtype)
+    return X
+
+
+def fiedler_pair_op(
+    op: GraphOperator,
+    w: jax.Array,
+    X: jax.Array,
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    inner_iters: int = 16,
+    chain_w: Optional[jax.Array] = None,
+    method: str = "lobpcg",
+    apply_override=None,
+) -> FiedlerResult:
+    """Device-side Fiedler solve on a GraphOperator with weights w.
+
+    Traceable: usable inside jit / vmap / while_loop.
+
+    The LOBPCG preconditioner is `inner_iters` CG steps on the shifted
+    operator, themselves preconditioned by an exact solve of the
+    tridiagonal part of L(w) (diagonal + odometry-chain band — see
+    mac_tpu.ops.tridiag). This inexact shift-invert is what replaces the
+    reference's SuperLU/CHOLMOD inner solves. `chain_w` is accepted for
+    API compatibility but the tridiagonal part is extracted from (op, w)
+    directly, which also covers non-chain graphs (falls back to diagonal
+    scaling naturally).
+    """
+    n = op.n
+    q = X.shape[1]
+    if apply_override is None and (
+        method == "dense" or (op.mode == "dense" and n <= DENSE_EIGH_MAX_N)
+    ):
+        return dense_fiedler(lap_dense(op, w), q)
+
+    if apply_override is not None:
+        apply_L = lambda V: apply_override(w, V)
+    elif op.mode == "dense":
+        Ld = lap_dense(op, w)
+        apply_L = lambda V: jnp.dot(Ld, V, preferred_element_type=V.dtype)
+    else:
+        apply_L = lambda V: lap_apply(op, w, V)
+
+    lnorm = lap_inf_norm(op, w)
+    c = lnorm
+
+    def apply_shifted(V):
+        return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
+
+    d, e = lap_tridiagonal_part(op, w)
+    eps = 100 * jnp.finfo(w.dtype).eps
+    fac = tridiag_ldl(d + eps * jnp.max(d), e)
+
+    def center(B):
+        return B - jnp.mean(B, axis=0, keepdims=True)
+
+    def Minv(B):
+        # Restrict the tridiagonal solve to 1^perp so the shifted constant
+        # mode is never amplified.
+        return center(tridiag_solve_factored(fac, center(B)))
+
+    pc = lambda R: pcg_fixed(apply_shifted, R, Minv, iters=inner_iters)
+    return lobpcg_fiedler(apply_L, X, lnorm, precond=pc, tol=tol, maxiter=maxiter)
+
+
+def _op_from_matrix(L) -> Tuple[GraphOperator, np.ndarray, Optional[np.ndarray]]:
+    """Extract (operator, edge weights, chain weights or None) from a host
+    Laplacian matrix. Chain weights are returned when the graph contains the
+    full path 0-1-...-(n-1) (enables the exact chain preconditioner)."""
+    if sp.issparse(L):
+        coo = sp.triu(L, k=1).tocoo()
+        idx = np.stack([coo.row, coo.col], axis=1).astype(np.int32)
+        w = -np.asarray(coo.data)
+    else:
+        L = np.asarray(L)
+        iu, ju = np.triu_indices(L.shape[0], k=1)
+        vals = L[iu, ju]
+        nz = vals != 0
+        idx = np.stack([iu[nz], ju[nz]], axis=1).astype(np.int32)
+        w = -vals[nz]
+    n = L.shape[0]
+    chain_w = _precond.extract_chain_weights(idx, w, n)
+    return build_operator(idx, n), w, chain_w
+
+
+def find_fiedler_pair(
+    L,
+    X=None,
+    method: str = "lobpcg",
+    tol: float = 1e-8,
+    seed=None,
+    maxiter: int = 1000,
+):
+    """Compute (lambda_2(L), v_2(L), X-block) from a host Laplacian.
+
+    L: scipy sparse or dense (n, n) Laplacian.
+    X: optional (n, q) warm-start block (q = min(4, n-1) if None, seeded
+       deterministically like the reference).
+    method: 'lobpcg' (default), 'dense', or the reference names
+       'tracemin_lu' / 'tracemin_cholesky' (mapped to 'lobpcg').
+    seed: optional numpy RandomState for the initial block.
+
+    Returns (sigma_0, X[:, 0], X) — reference: fiedler.py:44.
+    """
+    n = L.shape[0]
+    q = min(4, n - 1)
+    dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    if X is None:
+        if isinstance(seed, np.random.RandomState):
+            X = np.asarray(seed.normal(size=(q, n))).T
+        else:
+            X = default_block(n, q, seed=seed)
+    X = jnp.asarray(X, dtype=dtype)
+    assert X.shape[0] == n
+    assert X.shape[1] == q
+
+    if method in ("tracemin_lu", "tracemin_cholesky", "tracemin"):
+        method = "lobpcg"
+
+    op, w, chain_w = _op_from_matrix(L)
+    w = jnp.asarray(w, dtype=dtype)
+    if chain_w is not None:
+        chain_w = jnp.asarray(chain_w, dtype=dtype)
+    res = fiedler_pair_op(op, w, X, tol=tol, maxiter=maxiter, method=method,
+                          chain_w=chain_w)
+    return res.lam[0], res.X[:, 0], res.X

@@ -1,0 +1,142 @@
+"""MAC solver regression tests (reference test style:
+tests/solvers/test_mac.py — Petersen graph, MST fixed part, improvement
+properties rather than golden values)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from mac_tpu.utils.conversions import nx_to_mac
+from mac_tpu.utils.graphs import select_edges
+from mac_tpu.solvers import MAC
+
+
+@pytest.fixture
+def petersen_split():
+    graph = nx.petersen_graph()
+    spanning_tree = nx.minimum_spanning_tree(graph)
+    loop_graph = nx.difference(graph, spanning_tree)
+    return (
+        nx_to_mac(spanning_tree),
+        nx_to_mac(loop_graph),
+        graph.number_of_nodes(),
+    )
+
+
+@pytest.mark.parametrize("pct", [0.2, 0.5, 0.9])
+def test_petersen_improvement(petersen_split, pct):
+    fixed, candidates, n = petersen_split
+    num_candidates = max(1, int(pct * len(candidates)))
+
+    x_init = np.zeros(len(candidates))
+    x_init[:num_candidates] = 1.0
+
+    mac = MAC(fixed, candidates, n)
+    result, unrounded, upper = mac.solve(num_candidates, x_init, max_iters=100)
+
+    assert np.isclose(result.sum(), num_candidates)
+    init_l2 = mac.evaluate_objective(x_init)
+    unrounded_l2 = mac.evaluate_objective(unrounded)
+    rounded_l2 = mac.evaluate_objective(result)
+
+    # Relaxed solution must not be worse than the starting point.
+    assert unrounded_l2 >= init_l2 - 1e-10
+    # Dual upper bound must be valid.
+    assert upper >= unrounded_l2 - 1e-8
+    # Rounded solution is binary.
+    assert set(np.unique(result)).issubset({0.0, 1.0})
+
+
+def test_budget_exceeds_candidates(petersen_split):
+    fixed, candidates, n = petersen_split
+    mac = MAC(fixed, candidates, n)
+    result, unrounded, val = mac.solve(len(candidates) + 3)
+    np.testing.assert_allclose(result, np.ones(len(candidates)))
+    # lambda_2 of the full Petersen graph is 2.
+    assert np.isclose(val, 2.0, atol=1e-8)
+
+
+def test_madow_rounding(petersen_split):
+    fixed, candidates, n = petersen_split
+    k = 3
+    mac = MAC(fixed, candidates, n)
+    result, unrounded, upper, rt = mac.solve(
+        k, rounding="madow", random_rounding_max_iters=4,
+        max_iters=50, return_rounding_time=True,
+    )
+    assert result.sum() == k
+    assert rt >= 0.0
+
+
+def test_fallback_never_worse_than_init(petersen_split):
+    fixed, candidates, n = petersen_split
+    k = 2
+    x_init = np.zeros(len(candidates))
+    x_init[:k] = 1.0
+    mac = MAC(fixed, candidates, n)
+    result, _, _ = mac.solve(k, x_init, fallback=True, max_iters=20)
+    assert mac.evaluate_objective(result) >= mac.evaluate_objective(x_init) - 1e-10
+
+
+def test_cache_warm_start_equivalence(petersen_split):
+    # use_cache toggles warm starting; results must agree to tolerance.
+    fixed, candidates, n = petersen_split
+    k = 4
+    x_init = np.full(len(candidates), k / len(candidates))
+    mac = MAC(fixed, candidates, n)
+    r1, u1, b1 = mac.solve(k, x_init, use_cache=True, max_iters=50)
+    r2, u2, b2 = mac.solve(k, x_init, use_cache=False, max_iters=50)
+    assert np.isclose(
+        mac.evaluate_objective(u1), mac.evaluate_objective(u2), rtol=1e-6
+    )
+
+
+def test_problem_cache_engages(petersen_split):
+    fixed, candidates, n = petersen_split
+    mac = MAC(fixed, candidates, n)
+    cache = MAC.Cache()
+    x = np.full(len(candidates), 0.5)
+    f1, g1 = mac.problem(x, cache=cache)
+    assert cache.Q is not None  # the reference's cache never updated; ours does
+    f2, g2 = mac.problem(x, cache=cache)
+    assert np.isclose(f1, f2, rtol=1e-9)
+    np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-12)
+
+
+def test_gradient_matches_finite_difference(petersen_split):
+    fixed, candidates, n = petersen_split
+    mac = MAC(fixed, candidates, n)
+    m = len(candidates)
+    x = np.full(m, 0.5)
+    f, g = mac.problem(x)
+    eps = 1e-6
+    for j in [0, m // 2, m - 1]:
+        xp = x.copy()
+        xp[j] += eps
+        xm = x.copy()
+        xm[j] -= eps
+        fd = (mac.evaluate_objective(xp) - mac.evaluate_objective(xm)) / (2 * eps)
+        assert np.isclose(g[j], fd, rtol=1e-3, atol=1e-6)
+
+
+def test_chain_fixed_graph():
+    # Chain fixed part (odometry-style) exercises the chain preconditioner
+    # wiring through the MAC ctor.
+    rng = np.random.RandomState(1)
+    n = 40
+    G = nx.path_graph(n)
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.5 + rng.rand()
+    fixed = nx_to_mac(G)
+    H = nx.Graph()
+    while H.number_of_edges() < 20:
+        i, j = rng.randint(0, n, 2)
+        if abs(int(i) - int(j)) > 1:
+            H.add_edge(int(i), int(j), weight=0.5 + rng.rand())
+    candidates = nx_to_mac(H)
+    mac = MAC(fixed, candidates, n)
+    assert mac._chain_w is not None
+    k = 8
+    result, unrounded, upper = mac.solve(k, max_iters=50)
+    assert result.sum() == k
+    assert mac.evaluate_objective(unrounded) <= upper + 1e-8
