@@ -1,0 +1,78 @@
+"""Headline benchmark: full MAC solve on city10000 at K = 50% budget.
+
+Runs on whatever accelerator jax picks by default (the TPU chip under
+axon). Protocol matches scripts/measure_baseline.py (which produced the
+reference number in BASELINE.md): K = 50% of loop closures, x_init =
+NaiveGreedy top-K, max_iters=20, nearest rounding, warm-start cache on.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ratio}
+vs_baseline = reference_seconds / ours (higher is better).
+
+Timing excludes jit compilation (one warmup solve) — compilation is a
+one-time cost amortized across a sweep/deployment, and the reference
+has no analogous cost to compare against; the cold time is reported on
+stderr for transparency.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+REFERENCE_SOLVE_S = 1.931  # BASELINE.md: reference CPU, city10000, K=50%
+REFERENCE_LAM2_UNROUNDED = 0.06944591018149751
+
+
+def main():
+    import numpy as np
+
+    from mac_tpu.slam.pose_graph import read_g2o_file, rpm_to_mac, split_edges
+    from mac_tpu.solvers import MAC, NaiveGreedy
+
+    dataset = REPO / "data" / "city10000.g2o"
+    measurements, n = read_g2o_file(str(dataset))
+    fixed, cands = split_edges(rpm_to_mac(measurements))
+    k = len(cands) // 2
+
+    x_init = NaiveGreedy(cands).subset(k)
+    mac = MAC(fixed, cands, n)
+
+    t0 = time.perf_counter()
+    mac.solve(k, x_init, rounding="nearest", max_iters=20, use_cache=True)
+    cold_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rounded, unrounded, upper = mac.solve(
+            k, x_init, rounding="nearest", max_iters=20, use_cache=True
+        )
+        times.append(time.perf_counter() - t0)
+    solve_s = min(times)
+
+    lam2 = mac.evaluate_objective(unrounded)
+    rel_err = abs(lam2 - REFERENCE_LAM2_UNROUNDED) / REFERENCE_LAM2_UNROUNDED
+
+    print(
+        f"cold={cold_s:.3f}s warm_runs={[round(t, 4) for t in times]} "
+        f"lam2={lam2:.9g} (ref {REFERENCE_LAM2_UNROUNDED:.9g}, rel err {rel_err:.2e}) "
+        f"k={k} n={n} backend={__import__('jax').devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "mac_solve_city10000_k50pct_wall_clock",
+                "value": round(solve_s, 4),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_SOLVE_S / solve_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -119,12 +119,20 @@ def lobpcg_fiedler(
         r = AX[:, 0] - lam[0] * X[:, 0]
         return jnp.sum(jnp.abs(r)) / lnorm.astype(dtype)
 
+    # Stall detection: in low precision (f32 on TPU) the residual hits a
+    # rounding floor above any fixed tolerance; stop when it hasn't
+    # improved for STALL_PATIENCE iterations instead of burning maxiter.
+    STALL_PATIENCE = 8
+
     def cond(carry):
-        X, AX, lam, Xprev, it, res = carry
-        return jnp.logical_and(it < maxiter, res > eff_tol)
+        X, AX, lam, Xprev, it, res, best, since = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < maxiter, res > eff_tol),
+            since < STALL_PATIENCE,
+        )
 
     def body(carry):
-        X, AX, lam, Xprev, it, res = carry
+        X, AX, lam, Xprev, it, res, best, since = carry
         R = AX - X * lam[None, :]
         W = project(precond(R))
         S = jnp.concatenate([X, W, Xprev], axis=1)  # (n, 3q)
@@ -138,12 +146,16 @@ def lobpcg_fiedler(
         X_new = Q @ Cmat
         AX_new = AQ @ Cmat
         res_new = residual(lam_new, X_new, AX_new)
-        return (X_new, AX_new, lam_new, X, it + 1, res_new)
+        improved = res_new < 0.97 * best
+        best_new = jnp.minimum(best, res_new)
+        since_new = jnp.where(improved, 0, since + 1)
+        return (X_new, AX_new, lam_new, X, it + 1, res_new, best_new, since_new)
 
     it0 = jnp.asarray(0, jnp.int32)
     res0 = residual(lam, X, AX)
-    X, AX, lam, Xprev, it, res = jax.lax.while_loop(
-        cond, body, (X, AX, lam, Xprev, it0, res0)
+    zero = jnp.asarray(0, jnp.int32)
+    X, AX, lam, Xprev, it, res, best, since = jax.lax.while_loop(
+        cond, body, (X, AX, lam, Xprev, it0, res0, res0, zero)
     )
     return FiedlerResult(lam=lam, X=X, iters=it, res=res)
 

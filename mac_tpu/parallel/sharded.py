@@ -54,21 +54,23 @@ class ShardedLaplacian:
         self.blk = self.n_pad // g
 
         def _local(w, V, nbr_blk, eid_blk):
-            # w, V replicated; tables are the local row block.
+            # w, V replicated; tables are the local row block. The output is
+            # left row-sharded over 'graph' — GSPMD inserts the all-gather
+            # exactly where a consumer needs replication (e.g. the next
+            # gather of V), instead of forcing one here.
             w_pad = jnp.concatenate([w, jnp.zeros((1,), dtype=w.dtype)])
             w_tbl = w_pad[eid_blk]  # (blk, dmax)
             Vn = V[nbr_blk]  # (blk, dmax, q): gather from replicated V
             deg = w_tbl.sum(axis=1)
             r = jax.lax.axis_index("graph")
             V_blk = jax.lax.dynamic_slice_in_dim(V, r * self.blk, self.blk, axis=0)
-            out_blk = deg[:, None] * V_blk - jnp.einsum("nd,ndq->nq", w_tbl, Vn)
-            return jax.lax.all_gather(out_blk, "graph", axis=0, tiled=True)
+            return deg[:, None] * V_blk - jnp.einsum("nd,ndq->nq", w_tbl, Vn)
 
         self._shard_apply = jax.shard_map(
             _local,
             mesh=mesh,
             in_specs=(P(), P(), P("graph", None), P("graph", None)),
-            out_specs=P(),
+            out_specs=P("graph", None),
         )
 
     def apply(self, w: jax.Array, V: jax.Array) -> jax.Array:

@@ -102,7 +102,14 @@ class MAC:
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
         self._w_cand = jnp.asarray(w_cand, dtype=dtype)
         all_idx = np.concatenate([fixed_idx, cand_idx], axis=0) if num_edges else fixed_idx
-        self.op = build_operator(all_idx, n)
+        self.op = build_operator(all_idx, n, mode="ell" if mesh is not None else None)
+        self.mesh = mesh
+        if mesh is not None:
+            from mac_tpu.parallel.sharded import ShardedLaplacian
+
+            self._sharded = ShardedLaplacian(self.op, mesh)
+        else:
+            self._sharded = None
 
         chain_w = extract_chain_weights(fixed_idx, w_fixed, n)
         self._chain_w = None if chain_w is None else jnp.asarray(chain_w, dtype=dtype)
@@ -112,6 +119,7 @@ class MAC:
         self.fiedler_method = fiedler_method
         self.fiedler_tol = float(fiedler_tol)
         self.fiedler_maxiter = int(fiedler_maxiter)
+        self.fiedler_inner_iters = int(fiedler_inner_iters)
         self.min_selection_weight_tol = float(min_selection_weight_tol)
 
         self._q = min(4, n - 1)
@@ -139,8 +147,10 @@ class MAC:
             X,
             tol=self.fiedler_tol,
             maxiter=self.fiedler_maxiter,
+            inner_iters=self.fiedler_inner_iters,
             chain_w=self._chain_w,
             method=self.fiedler_method,
+            apply_override=None if self._sharded is None else self._sharded.apply,
         )
 
     def _eval_impl(self, x: jax.Array) -> jax.Array:

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(the idiomatic JAX fake-distributed backend; conftest.py sets
+xla_force_host_platform_device_count=8)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mac_tpu.ops.laplacian import build_operator, lap_apply
+from mac_tpu.parallel.mesh import make_mesh
+from mac_tpu.parallel.sharded import ShardedLaplacian
+from mac_tpu.solvers import MAC
+from mac_tpu.utils.conversions import nx_to_mac
+from mac_tpu.utils.graphs import edges_to_arrays
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    return make_mesh(n_graph=4, n_sweep=1)
+
+
+def _chain_plus_loops(n, n_loops, seed=0):
+    rng = np.random.RandomState(seed)
+    G = nx.path_graph(n)
+    while G.number_of_edges() < n - 1 + n_loops:
+        i, j = rng.randint(0, n, 2)
+        if abs(int(i) - int(j)) > 1:
+            G.add_edge(int(i), int(j))
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.5 + rng.rand()
+    return G
+
+
+def test_sharded_apply_matches_local(mesh):
+    n = 101  # deliberately not a multiple of the mesh size
+    G = _chain_plus_loops(n, 30)
+    idx, w = edges_to_arrays(nx_to_mac(G))
+    op = build_operator(idx, n, mode="ell")
+    sh = ShardedLaplacian(op, mesh)
+    V = jnp.asarray(np.random.RandomState(1).randn(n, 4))
+    w = jnp.asarray(w)
+    expected = lap_apply(op, w, V)
+    got = sh.apply(w, V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-12)
+
+
+def test_mac_solve_on_mesh_matches_single_device(mesh):
+    n = 64
+    G = _chain_plus_loops(n, 24, seed=3)
+    edges = nx_to_mac(G)
+    fixed = [e for e in edges if abs(e.i - e.j) == 1]
+    cands = [e for e in edges if abs(e.i - e.j) > 1]
+    k = 8
+
+    mac_sharded = MAC(fixed, cands, n, mesh=mesh)
+    r1, u1, b1 = mac_sharded.solve(k, max_iters=20)
+
+    mac_local = MAC(fixed, cands, n)
+    r2, u2, b2 = mac_local.solve(k, max_iters=20)
+
+    # Identical objective value to solver tolerance (paths may differ in
+    # rounding of ties, so compare objectives rather than masks).
+    f1 = mac_local.evaluate_objective(r1)
+    f2 = mac_local.evaluate_objective(r2)
+    assert np.isclose(f1, f2, rtol=1e-6)
+    assert np.isclose(b1, b2, rtol=1e-6)

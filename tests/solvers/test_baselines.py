@@ -1,0 +1,164 @@
+"""Greedy baseline tests: NaiveGreedy, GreedyEig, GreedyESP.
+
+The reference has no unit tests for these solvers; we test against
+brute-force numpy oracles on small graphs (dense L_S^-1 effective
+resistances for ESP; exhaustive lambda_2 evaluation for Eig), which also
+pins down the exact greedy semantics (first-max tie-breaking,
+budget-monotone lazy sweeps)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from mac_tpu.solvers.baseline import NaiveGreedy
+from mac_tpu.solvers.greedy_eig import GreedyEig
+from mac_tpu.solvers.greedy_esp import GreedyESP
+from mac_tpu.utils.conversions import nx_to_mac
+from mac_tpu.utils.graphs import Edge, edges_to_arrays, weight_graph_lap_from_edge_list
+
+
+def _split_chain(G):
+    edges = nx_to_mac(G)
+    fixed = [e for e in edges if abs(e.i - e.j) == 1]
+    cands = [e for e in edges if abs(e.i - e.j) > 1]
+    return fixed, cands
+
+
+def _chain_plus_loops(n, n_loops, seed=0):
+    rng = np.random.RandomState(seed)
+    G = nx.path_graph(n)
+    while G.number_of_edges() < n - 1 + n_loops:
+        i, j = rng.randint(0, n, 2)
+        if abs(int(i) - int(j)) > 1:
+            G.add_edge(int(i), int(j))
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.5 + rng.rand()
+    return G
+
+
+def test_naive_greedy_topk():
+    edges = [Edge(0, 1, 3.0), Edge(1, 2, 1.0), Edge(2, 3, 5.0), Edge(0, 3, 2.0)]
+    sol = NaiveGreedy(edges).subset(2)
+    np.testing.assert_allclose(sol, [1, 0, 1, 0])
+    assert NaiveGreedy(edges).subset(0).sum() == 0
+    assert NaiveGreedy(edges).subset(10).sum() == 4
+
+
+def _brute_force_esp(fixed, cands, n, k):
+    """Oracle: eager greedy max weighted effective resistance via dense
+    solves of the reduced Laplacian."""
+    Lf = weight_graph_lap_from_edge_list(fixed, n).toarray()[1:, 1:]
+    cand_idx, w = edges_to_arrays(cands)
+    m = len(w)
+    selected = []
+    L = Lf.copy()
+    result = np.zeros(m)
+
+    def a_vec(e):
+        a = np.zeros(n - 1)
+        i, j = e
+        if i >= 1:
+            a[i - 1] = 1.0
+        if j >= 1:
+            a[j - 1] = -1.0
+        return a
+
+    for _ in range(k):
+        scores = np.full(m, -np.inf)
+        for e in range(m):
+            if result[e] == 1.0:
+                continue
+            a = a_vec(cand_idx[e])
+            scores[e] = w[e] * (a @ np.linalg.solve(L, a))
+        p = int(np.argmax(scores))
+        result[p] = 1.0
+        selected.append(p)
+        a = a_vec(cand_idx[p])
+        L = L + w[p] * np.outer(a, a)
+    return result, selected
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_greedy_esp_matches_bruteforce(seed):
+    G = _chain_plus_loops(24, 10, seed=seed)
+    fixed, cands = _split_chain(G)
+    k = 5
+    oracle_mask, oracle_sel = _brute_force_esp(fixed, cands, 24, k)
+
+    esp = GreedyESP(fixed, cands, 24)
+    mask, sel = esp.subset(k)
+    np.testing.assert_allclose(mask, oracle_mask)
+
+    # Lazy variant is mathematically equivalent to eager.
+    esp2 = GreedyESP(fixed, cands, 24)
+    mask_lazy, sel_lazy, t = esp2.subset_lazy(k)
+    np.testing.assert_allclose(mask_lazy, oracle_mask)
+    assert t >= 0
+
+
+def test_greedy_esp_budget_sweep_monotone():
+    G = _chain_plus_loops(20, 8, seed=3)
+    fixed, cands = _split_chain(G)
+    esp = GreedyESP(fixed, cands, 20)
+    results, selected, times = esp.subsets_lazy([2, 4, 6])
+    assert [int(r.sum()) for r in results] == [2, 4, 6]
+    # Monotone nesting: earlier selections are subsets of later ones.
+    assert np.all(results[0] <= results[1])
+    assert np.all(results[1] <= results[2])
+    assert len(selected) == 6
+    assert times == sorted(times)
+
+    with pytest.raises(AssertionError):
+        esp.subsets_lazy([4, 2])  # budgets must be monotone
+
+
+def test_greedy_esp_edges_touching_pinned_node():
+    # Candidate edges incident to node 0 exercise the reduced-incidence
+    # special case (one-entry a_uv).
+    fixed = [Edge(i, i + 1, 1.0) for i in range(9)]
+    cands = [Edge(0, 5, 2.0), Edge(0, 9, 1.0), Edge(2, 7, 1.5)]
+    oracle_mask, _ = _brute_force_esp(fixed, cands, 10, 2)
+    esp = GreedyESP(fixed, cands, 10)
+    mask, _ = esp.subset(2)
+    np.testing.assert_allclose(mask, oracle_mask)
+
+
+def _brute_force_eig(fixed, cands, n, k):
+    """Oracle: greedy argmax of lambda_2 with exact dense eigensolves."""
+    from scipy.linalg import eigh
+
+    cand_idx, w = edges_to_arrays(cands)
+    m = len(w)
+    sol = np.zeros(m)
+    selected = []
+    for _ in range(k):
+        best, best_l2 = -1, -np.inf
+        for e in range(m):
+            if sol[e] == 1.0:
+                continue
+            trial = sol.copy()
+            trial[e] = 1.0
+            L = weight_graph_lap_from_edge_list(fixed, n).toarray()
+            for t in range(m):
+                if trial[t] == 1.0:
+                    i, j = cand_idx[t]
+                    a = np.zeros(n)
+                    a[i], a[j] = 1.0, -1.0
+                    L += w[t] * np.outer(a, a)
+            l2 = np.sort(eigh(L, eigvals_only=True))[1]
+            if l2 > best_l2 + 1e-9:
+                best, best_l2 = e, l2
+        sol[best] = 1.0
+        selected.append(best)
+    return sol, selected
+
+
+def test_greedy_eig_matches_bruteforce():
+    G = _chain_plus_loops(12, 6, seed=5)
+    fixed, cands = _split_chain(G)
+    k = 3
+    oracle_mask, _ = _brute_force_eig(fixed, cands, 12, k)
+    eig = GreedyEig(fixed, cands, 12)
+    mask, sel = eig.subset(k)
+    np.testing.assert_allclose(mask, oracle_mask)
+    assert len(sel) == k
