@@ -28,9 +28,10 @@ def pcg_fixed(
     B: jax.Array,
     Minv: Optional[Callable] = None,
     iters: int = 16,
+    X0: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """`iters` PCG steps toward A X = B from X = 0. Columnwise step sizes;
-    division guards make exhausted columns inert rather than NaN."""
+    """`iters` PCG steps toward A X = B from X0 (default 0). Columnwise step
+    sizes; division guards make exhausted columns inert rather than NaN."""
     if Minv is None:
         Minv = _identity
     eps = jnp.finfo(B.dtype).tiny
@@ -38,8 +39,12 @@ def pcg_fixed(
     def safe_div(a, b):
         return a / jnp.where(jnp.abs(b) > eps, b, 1.0) * (jnp.abs(b) > eps)
 
-    X = jnp.zeros_like(B)
-    R = B
+    if X0 is None:
+        X = jnp.zeros_like(B)
+        R = B
+    else:
+        X = X0
+        R = B - apply_A(X0)
     Z = Minv(R)
     P = Z
     rz = jnp.sum(R * Z, axis=0)

@@ -29,8 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Graphs with n <= DENSE_MAX_N use the dense (MXU) path.
-DENSE_MAX_N = 2048
+# Graphs with n <= DENSE_MAX_N use the dense path (exact eigh for the
+# Fiedler solve). Larger graphs use the ELL gather path: beyond bandwidth,
+# the dense matmul apply L @ V also suffers catastrophic float32
+# cancellation on smooth eigenvectors (rows of L sum to zero), whereas the
+# ELL difference-form apply is backward-stable — see _ell_apply.
+DENSE_MAX_N = 256
 
 
 @jax.tree_util.register_dataclass
@@ -149,11 +153,18 @@ def lap_tridiagonal_part(op: GraphOperator, w: jax.Array):
 
 
 def _ell_apply(op: GraphOperator, w: jax.Array, V: jax.Array) -> jax.Array:
+    # Difference form (L V)_i = sum_k w_ik (V_i - V_nbr_ik), NOT the
+    # algebraically equivalent deg_i V_i - sum_k w_ik V_nbr_ik: eigenvectors
+    # of near-chain Laplacians vary smoothly, so the latter cancels two
+    # O(deg*|V|) terms down to O(lambda*|V|) — a ~1e4x amplification of
+    # float32 rounding that floors eigensolver accuracy at ~1e-3. Taking
+    # the neighbor differences first is exact for close values (Sterbenz)
+    # and keeps the apply backward-stable in the quantity that matters.
     w_pad = jnp.concatenate([w, jnp.zeros((1,), dtype=w.dtype)])
     w_tbl = w_pad[op.eid_tbl]  # (n, dmax)
     Vn = V[op.nbr_tbl]  # (n, dmax, q) gather
-    deg = w_tbl.sum(axis=1)  # (n,)
-    return deg[:, None] * V - jnp.einsum("nd,ndq->nq", w_tbl, Vn)
+    Vd = V[:, None, :] - Vn  # (n, dmax, q) neighbor differences
+    return jnp.einsum("nd,ndq->nq", w_tbl, Vd)
 
 
 def lap_apply(op: GraphOperator, w: jax.Array, V: jax.Array, L_dense: Optional[jax.Array] = None) -> jax.Array:

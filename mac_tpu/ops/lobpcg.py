@@ -35,12 +35,24 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from mac_tpu.ops.cg import pcg_fixed
+
 
 class FiedlerResult(NamedTuple):
     lam: jax.Array      # (q,) Ritz values, lam[0] = lambda_2(L)
     X: jax.Array        # (n, q) Ritz vectors, X[:, 0] = Fiedler vector
     iters: jax.Array    # () int32 outer iterations used
     res: jax.Array      # () final residual (reference criterion)
+
+
+def _colnorm(S: jax.Array) -> jax.Array:
+    """Scale columns to unit norm (guards CholQR against the wild column-
+    scale disparity of an LOBPCG basis, where the preconditioned residual
+    block can be orders of magnitude smaller than the orthonormal X block —
+    essential in float32, where kappa(S)^2 otherwise swamps the Gram
+    Cholesky)."""
+    nrm = jnp.linalg.norm(S, axis=0, keepdims=True)
+    return S / jnp.maximum(nrm, jnp.finfo(S.dtype).tiny)
 
 
 def _cholqr(S: jax.Array) -> jax.Array:
@@ -54,16 +66,33 @@ def _cholqr(S: jax.Array) -> jax.Array:
     lambda_2 (see module docstring)."""
     G = S.T @ S
     k = G.shape[0]
-    jitter = jnp.finfo(S.dtype).eps * (jnp.trace(G) + 1.0)
+    jitter = k * jnp.finfo(S.dtype).eps * (jnp.trace(G) + 1.0)
     R = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=S.dtype), upper=True)
     Q = jax.scipy.linalg.solve_triangular(R.T, S.T, lower=True).T
     return Q
 
 
 def _orth(S: jax.Array) -> jax.Array:
-    """Orthonormalize columns via CholeskyQR2 (two passes restore full
-    orthogonality, standard remedy for CholQR's squared conditioning)."""
-    return _cholqr(_cholqr(S))
+    """Orthonormalize columns: column scaling, then CholeskyQR2 (two passes
+    restore full orthogonality — the standard remedy for CholQR's squared
+    conditioning)."""
+    return _cholqr(_cholqr(_colnorm(S)))
+
+
+def _ortho_against(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """Project the columns of Y orthogonal to the orthonormal block X with
+    two classical Gram-Schmidt passes (CGS2).
+
+    This must happen in the *vector* space before any Gram-based
+    orthonormalization: near convergence Y is nearly parallel to X (angle
+    ~ current eigenvector error), and a Gram matrix squares that angle —
+    in float32 an angle below sqrt(eps) ~ 3e-4 becomes invisible to
+    CholQR, which silently replaces the correction direction with jitter
+    noise and floors convergence. CGS2 extracts the perpendicular
+    component to ~eps accuracy regardless of how small the angle is."""
+    Y = Y - X @ (X.T @ Y)
+    Y = Y - X @ (X.T @ Y)
+    return Y
 
 
 def lobpcg_fiedler(
@@ -135,7 +164,12 @@ def lobpcg_fiedler(
         X, AX, lam, Xprev, it, res, best, since = carry
         R = AX - X * lam[None, :]
         W = project(precond(R))
-        S = jnp.concatenate([X, W, Xprev], axis=1)  # (n, 3q)
+        # Classical LOBPCG hygiene: pre-orthogonalize the search block
+        # against X (CGS2 — see _ortho_against) so the combined basis
+        # enters CholQR well-conditioned.
+        W = _ortho_against(X, W)
+        P = _ortho_against(X, Xprev)
+        S = jnp.concatenate([X, _colnorm(W), _colnorm(P)], axis=1)  # (n, 3q)
         Q = _orth(S)
         AQ = apply_shifted(Q)
         H = Q.T @ AQ
@@ -156,6 +190,114 @@ def lobpcg_fiedler(
     zero = jnp.asarray(0, jnp.int32)
     X, AX, lam, Xprev, it, res, best, since = jax.lax.while_loop(
         cond, body, (X, AX, lam, Xprev, it0, res0, res0, zero)
+    )
+    return FiedlerResult(lam=lam, X=X, iters=it, res=res)
+
+
+def tracemin_fiedler(
+    apply_L: Callable[[jax.Array], jax.Array],
+    X0: jax.Array,
+    lnorm: jax.Array,
+    Minv: Callable[[jax.Array], jax.Array],
+    *,
+    tol: float = 1e-8,
+    maxiter: int = 200,
+    inner_iters: int = 16,
+    stall_patience: int = 12,
+    stall_factor: float = 0.995,
+) -> FiedlerResult:
+    """Block inverse (subspace) iteration with Rayleigh-Ritz — TRACEMIN.
+
+    Per outer iteration: approximately solve A' Y = X with `inner_iters`
+    preconditioned CG steps (warm-started at X/lambda), then Rayleigh-Ritz
+    on span[X, Y].
+
+    Why this exists alongside lobpcg_fiedler: in float32 LOBPCG stalls at
+    ~1e-2 relative error because its search basis necessarily contains
+    high-eigenvalue components, so ||H|| ~ lambda_max and the 3q x 3q eigh
+    injects eps*lambda_max of absolute noise into lambda_2 every iteration.
+    Inverse iteration keeps the basis inside the *low* eigenspace, so
+    ||H|| ~ lambda_{2q} and Rayleigh-Ritz noise scales with the eigenvalues
+    being computed — float32-stable. This is also the role the reference's
+    SuperLU/CHOLMOD TRACEMIN plays (mac/utils/cholesky.py:137-240), with
+    the exact factorization solve replaced by tridiagonal-preconditioned CG.
+    """
+    n, q = X0.shape
+    dtype = X0.dtype
+    eps = jnp.finfo(dtype).eps
+    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 32 * eps)
+    c = lnorm.astype(dtype)
+    # Tiny shift keeps the inner solves bounded when lambda_2 = 0
+    # (disconnected graphs); Ritz values are computed against A' itself,
+    # so the shift does not bias the reported eigenvalues.
+    sigma = 32 * eps * c
+
+    def apply_shifted(V):
+        return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
+
+    def apply_inner(V):
+        return apply_shifted(V) + sigma * V
+
+    def project(V):
+        return V - jnp.mean(V, axis=0, keepdims=True)
+
+    X = _orth(project(X0))
+    AX = apply_shifted(X)
+    H = X.T @ AX
+    lam, Y0 = jnp.linalg.eigh((H + H.T) / 2)
+    X = X @ Y0
+    AX = AX @ Y0
+    lam = lam[:q]
+
+    def residual(lam, X, AX):
+        r = AX[:, 0] - lam[0] * X[:, 0]
+        return jnp.sum(jnp.abs(r)) / lnorm.astype(dtype)
+
+    def cond(carry):
+        X, AX, lam, it, res, best, since = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < maxiter, res > eff_tol),
+            since < stall_patience,
+        )
+
+    def body(carry):
+        X, AX, lam, it, res, best, since = carry
+        # Inverse-iteration step: Y ~= A'^-1 X, warm-started at X / lam.
+        inv_lam = 1.0 / jnp.maximum(lam, sigma)
+        Y = pcg_fixed(apply_inner, X, Minv, iters=inner_iters, X0=X * inv_lam[None, :])
+        # Polynomial smoothing (I - A'/c)^2: float32 CG leaves noise across
+        # the spectrum, and its high-eigenvalue part enters the Rayleigh-
+        # Ritz Gram weighted by lambda — enough to rival the lambda_3 -
+        # lambda_2 gap and stall convergence at ~1e-2. Two damping passes
+        # multiply a lambda-component by (1 - lambda/c)^2: ~1 at the bottom
+        # of the spectrum (signal preserved), ~0 at the top (noise killed).
+        Y = Y - apply_shifted(Y) / c
+        Y = Y - apply_shifted(Y) / c
+        Y = project(Y)
+        # Extract the correction component of Y perpendicular to X in the
+        # vector space (CGS2) — see _ortho_against for why this cannot be
+        # left to the Gram-based orthonormalization in float32.
+        Yp = _colnorm(_ortho_against(X, Y))
+        S = jnp.concatenate([X, Yp], axis=1)  # (n, 2q)
+        Q = _orth(S)
+        AQ = apply_shifted(Q)
+        H = Q.T @ AQ
+        H = (H + H.T) / 2
+        evals, C = jnp.linalg.eigh(H)
+        lam_new = evals[:q]
+        X_new = Q @ C[:, :q]
+        AX_new = AQ @ C[:, :q]
+        res_new = residual(lam_new, X_new, AX_new)
+        improved = res_new < stall_factor * best
+        best_new = jnp.minimum(best, res_new)
+        since_new = jnp.where(improved, 0, since + 1)
+        return (X_new, AX_new, lam_new, it + 1, res_new, best_new, since_new)
+
+    it0 = jnp.asarray(0, jnp.int32)
+    res0 = residual(lam, X, AX)
+    zero = jnp.asarray(0, jnp.int32)
+    X, AX, lam, it, res, best, since = jax.lax.while_loop(
+        cond, body, (X, AX, lam, it0, res0, res0, zero)
     )
     return FiedlerResult(lam=lam, X=X, iters=it, res=res)
 

@@ -61,10 +61,11 @@ class ShardedLaplacian:
             w_pad = jnp.concatenate([w, jnp.zeros((1,), dtype=w.dtype)])
             w_tbl = w_pad[eid_blk]  # (blk, dmax)
             Vn = V[nbr_blk]  # (blk, dmax, q): gather from replicated V
-            deg = w_tbl.sum(axis=1)
             r = jax.lax.axis_index("graph")
             V_blk = jax.lax.dynamic_slice_in_dim(V, r * self.blk, self.blk, axis=0)
-            return deg[:, None] * V_blk - jnp.einsum("nd,ndq->nq", w_tbl, Vn)
+            # Difference form for float32 stability (see laplacian._ell_apply).
+            Vd = V_blk[:, None, :] - Vn
+            return jnp.einsum("nd,ndq->nq", w_tbl, Vd)
 
         self._shard_apply = jax.shard_map(
             _local,

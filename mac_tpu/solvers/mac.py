@@ -70,7 +70,7 @@ class MAC:
         fixed_edges,
         candidate_edges,
         num_nodes: int,
-        fiedler_method: str = "lobpcg",
+        fiedler_method: str = "tracemin",
         fiedler_tol: float = 1e-8,
         min_selection_weight_tol: float = 1e-10,
         dtype=None,
@@ -114,8 +114,8 @@ class MAC:
         chain_w = extract_chain_weights(fixed_idx, w_fixed, n)
         self._chain_w = None if chain_w is None else jnp.asarray(chain_w, dtype=dtype)
 
-        if fiedler_method in ("tracemin_lu", "tracemin_cholesky", "tracemin"):
-            fiedler_method = "lobpcg"
+        if fiedler_method in ("tracemin_lu", "tracemin_cholesky"):
+            fiedler_method = "tracemin"
         self.fiedler_method = fiedler_method
         self.fiedler_tol = float(fiedler_tol)
         self.fiedler_maxiter = int(fiedler_maxiter)
@@ -127,6 +127,7 @@ class MAC:
 
         # Per-instance compiled entry points (parameterized by static args).
         self._eval_jit = jax.jit(self._eval_impl)
+        self._eval_vec_jit = jax.jit(self._eval_vec_impl)
         self._eval_many_jit = jax.jit(self._eval_many_impl)
         self._fw_jit = jax.jit(
             self._fw_impl, static_argnames=("k", "maxiter", "use_cache", "verbose")
@@ -156,6 +157,28 @@ class MAC:
     def _eval_impl(self, x: jax.Array) -> jax.Array:
         res = self._fiedler(self._w_all(x), self._X0)
         return res.lam[0]
+
+    def _eval_vec_impl(self, x: jax.Array):
+        res = self._fiedler(self._w_all(x), self._X0)
+        return res.lam[0], res.X[:, 0]
+
+    def _refine_lambda(self, x, v) -> float:
+        """Float64 Rayleigh quotient of the Fiedler vector on the host: the
+        Laplacian quadratic form is an exact sum over edges,
+        v^T L(x) v = sum_e w_e (v_i - v_j)^2. Recovers full reporting
+        precision from an f32 eigenvector (the quotient's error is quadratic
+        in the eigenvector error)."""
+        v = np.asarray(v, dtype=np.float64)
+        v = v - v.mean()
+        x = np.asarray(x, dtype=np.float64)
+        keep = x > self.min_selection_weight_tol
+        idx = np.concatenate([self.fixed_idx, self.cand_idx], axis=0)
+        w = np.concatenate(
+            [np.asarray(self._w_fixed, np.float64),
+             np.where(keep, x, 0.0) * np.asarray(self.weights, np.float64)]
+        )
+        d = v[idx[:, 0]] - v[idx[:, 1]]
+        return float((w * d * d).sum() / (v * v).sum())
 
     def _eval_many_impl(self, xs: jax.Array) -> jax.Array:
         return jax.vmap(self._eval_impl)(xs)
@@ -212,9 +235,14 @@ class MAC:
         return weight_graph_lap_from_edges(idx, w, self.num_nodes)
 
     def evaluate_objective(self, x) -> float:
-        """F(x) = lambda_2(L(x)) (reference: mac.py:91-102)."""
+        """F(x) = lambda_2(L(x)) (reference: mac.py:91-102). In float32
+        compute mode the returned value is refined to float64 on the host
+        via the exact edge-sum Rayleigh quotient."""
         x = jnp.asarray(x, dtype=self.dtype)
-        return float(self._eval_jit(x))
+        if self.dtype == jnp.float64:
+            return float(self._eval_jit(x))
+        lam, v = self._eval_vec_jit(x)
+        return self._refine_lambda(np.asarray(x), np.asarray(v))
 
     def problem(self, x, cache: Optional["MAC.Cache"] = None):
         """(F(x), grad F(x)), warm-starting from and updating `cache.Q`

@@ -31,7 +31,12 @@ from mac_tpu.ops.laplacian import (
     lap_inf_norm,
     lap_tridiagonal_part,
 )
-from mac_tpu.ops.lobpcg import FiedlerResult, dense_fiedler, lobpcg_fiedler
+from mac_tpu.ops.lobpcg import (
+    FiedlerResult,
+    dense_fiedler,
+    lobpcg_fiedler,
+    tracemin_fiedler,
+)
 from mac_tpu.ops.cg import pcg_fixed
 from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored
 from mac_tpu.ops import precond as _precond
@@ -65,7 +70,7 @@ def fiedler_pair_op(
     maxiter: int = 200,
     inner_iters: int = 16,
     chain_w: Optional[jax.Array] = None,
-    method: str = "lobpcg",
+    method: str = "tracemin",
     apply_override=None,
 ) -> FiedlerResult:
     """Device-side Fiedler solve on a GraphOperator with weights w.
@@ -114,8 +119,14 @@ def fiedler_pair_op(
         # mode is never amplified.
         return center(tridiag_solve_factored(fac, center(B)))
 
-    pc = lambda R: pcg_fixed(apply_shifted, R, Minv, iters=inner_iters)
-    return lobpcg_fiedler(apply_L, X, lnorm, precond=pc, tol=tol, maxiter=maxiter)
+    if method == "lobpcg":
+        pc = lambda R: pcg_fixed(apply_shifted, R, Minv, iters=inner_iters)
+        return lobpcg_fiedler(apply_L, X, lnorm, precond=pc, tol=tol, maxiter=maxiter)
+    # Default: TRACEMIN (block inverse iteration) — float32-stable; see
+    # mac_tpu.ops.lobpcg.tracemin_fiedler.
+    return tracemin_fiedler(
+        apply_L, X, lnorm, Minv, tol=tol, maxiter=maxiter, inner_iters=inner_iters
+    )
 
 
 def _op_from_matrix(L) -> Tuple[GraphOperator, np.ndarray, Optional[np.ndarray]]:
@@ -141,7 +152,7 @@ def _op_from_matrix(L) -> Tuple[GraphOperator, np.ndarray, Optional[np.ndarray]]
 def find_fiedler_pair(
     L,
     X=None,
-    method: str = "lobpcg",
+    method: str = "tracemin",
     tol: float = 1e-8,
     seed=None,
     maxiter: int = 1000,
@@ -169,8 +180,8 @@ def find_fiedler_pair(
     assert X.shape[0] == n
     assert X.shape[1] == q
 
-    if method in ("tracemin_lu", "tracemin_cholesky", "tracemin"):
-        method = "lobpcg"
+    if method in ("tracemin_lu", "tracemin_cholesky"):
+        method = "tracemin"
 
     op, w, chain_w = _op_from_matrix(L)
     w = jnp.asarray(w, dtype=dtype)

@@ -1,0 +1,77 @@
+"""Tridiagonal scan solver and CG unit tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mac_tpu.ops.cg import pcg, pcg_fixed
+from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve, tridiag_solve_factored
+
+
+@pytest.mark.parametrize("n", [2, 3, 17, 256, 1000])
+def test_tridiag_solve_random_spd(n):
+    rng = np.random.RandomState(n)
+    e = -rng.rand(n - 1)
+    d = 2.05 * np.abs(np.concatenate([[0], e])) + 2.05 * np.abs(np.concatenate([e, [0]])) + 0.1
+    T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    B = rng.randn(n, 3)
+    X = np.asarray(tridiag_solve(jnp.asarray(d), jnp.asarray(e), jnp.asarray(B)))
+    np.testing.assert_allclose(T @ X, B, atol=1e-9)
+
+
+def test_tridiag_ldl_matches_numpy_cholesky():
+    rng = np.random.RandomState(0)
+    n = 64
+    e = -(0.5 + rng.rand(n - 1))
+    d = np.abs(np.concatenate([[0], e])) + np.abs(np.concatenate([e, [0]])) + 1.0
+    fac = tridiag_ldl(jnp.asarray(d), jnp.asarray(e))
+    T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    # Reconstruct T = L diag(dp) L^T.
+    L = np.eye(n)
+    for i in range(1, n):
+        L[i, i - 1] = float(fac.l[i])
+    np.testing.assert_allclose(L @ np.diag(np.asarray(fac.dp)) @ L.T, T, atol=1e-10)
+
+
+def test_tridiag_near_singular_path_laplacian():
+    # The tridiagonal part of a pure path graph Laplacian is singular; with
+    # a small diagonal shift the scan solve must stay finite and accurate.
+    n = 200
+    w = 0.5 + np.random.RandomState(1).rand(n - 1)
+    d = np.concatenate([[0], w]) + np.concatenate([w, [0]])
+    e = -w
+    eps = 1e-10 * d.max()
+    b = np.random.RandomState(2).randn(n, 2)
+    b -= b.mean(axis=0, keepdims=True)
+    X = np.asarray(tridiag_solve(jnp.asarray(d + eps), jnp.asarray(e), jnp.asarray(b)))
+    assert np.isfinite(X).all()
+    T = np.diag(d + eps) + np.diag(e, 1) + np.diag(e, -1)
+    np.testing.assert_allclose(T @ X, b, atol=1e-5)
+
+
+def test_pcg_solves_spd_system():
+    rng = np.random.RandomState(3)
+    n = 80
+    A = rng.randn(n, n)
+    A = A @ A.T + n * np.eye(n)
+    B = rng.randn(n, 5)
+    apply_A = lambda V: jnp.asarray(A) @ V
+    res = pcg(apply_A, jnp.asarray(B), tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(A @ np.asarray(res.X), B, atol=1e-7)
+    assert np.all(np.asarray(res.resnorm) <= 1e-10 * np.linalg.norm(B, axis=0) + 1e-12)
+
+
+def test_pcg_fixed_monotone_improvement():
+    rng = np.random.RandomState(4)
+    n = 60
+    A = rng.randn(n, n)
+    A = A @ A.T + n * np.eye(n)
+    B = rng.randn(n, 2)
+    apply_A = lambda V: jnp.asarray(A) @ V
+    X8 = np.asarray(pcg_fixed(apply_A, jnp.asarray(B), iters=8))
+    X32 = np.asarray(pcg_fixed(apply_A, jnp.asarray(B), iters=32))
+    r8 = np.linalg.norm(A @ X8 - B)
+    r32 = np.linalg.norm(A @ X32 - B)
+    assert r32 < r8 < np.linalg.norm(B)
