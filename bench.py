@@ -38,7 +38,10 @@ def main():
     k = len(cands) // 2
 
     x_init = NaiveGreedy(cands).subset(k)
-    mac = MAC(fixed, cands, n)
+    # f32 TPU configuration: deep inner CG (the accuracy lever — see
+    # mac_tpu.ops.lobpcg), bounded outer iterations (warm starts across
+    # Frank-Wolfe iterations carry most of the convergence).
+    mac = MAC(fixed, cands, n, fiedler_inner_iters=48, fiedler_maxiter=60)
 
     t0 = time.perf_counter()
     mac.solve(k, x_init, rounding="nearest", max_iters=20, use_cache=True)

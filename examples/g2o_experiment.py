@@ -12,6 +12,11 @@ Usage:
     python examples/g2o_experiment.py data/intel.g2o [--run-greedy] [--plot]
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout use
+
 import argparse
 import json
 import sys

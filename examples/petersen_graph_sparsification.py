@@ -4,6 +4,11 @@
 Run: python examples/petersen_graph_sparsification.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout use
+
 import networkx as nx
 import numpy as np
 

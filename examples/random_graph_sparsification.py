@@ -5,6 +5,11 @@ examples/random_graph_sparsification.py).
 Run: python examples/random_graph_sparsification.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout use
+
 import networkx as nx
 import numpy as np
 

@@ -27,6 +27,17 @@ Canonical imports mirror the reference (`from mac.solvers import MAC`):
     from mac_tpu.solvers import MAC, NaiveGreedy
 """
 
+import jax as _jax
+
+# Mixed-precision design: bulk O(n) eigensolver work runs in the device
+# compute dtype (float32 on TPU), but the small Rayleigh-Ritz coefficient
+# problems (Gram matrices, 2qx2q eigh/cholesky) run in float64 — without
+# this, eigenvalue separation at the float32 Gram level floors convergence
+# (see mac_tpu.ops.lobpcg). float64 must be *available*, hence x64 is
+# enabled at import; default compute dtypes remain backend-aware
+# (mac_tpu.utils.fiedler.default_dtype: float32 on TPU, float64 on CPU).
+_jax.config.update("jax_enable_x64", True)
+
 from mac_tpu.utils.graphs import Edge
 from mac_tpu.solvers import MAC, NaiveGreedy
 

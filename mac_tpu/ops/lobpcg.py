@@ -50,26 +50,52 @@ def _colnorm(S: jax.Array) -> jax.Array:
     scale disparity of an LOBPCG basis, where the preconditioned residual
     block can be orders of magnitude smaller than the orthonormal X block —
     essential in float32, where kappa(S)^2 otherwise swamps the Gram
-    Cholesky)."""
+    Cholesky).
+
+    The norm floor is *relative* to the largest column: a fully-converged
+    correction block is pure rounding noise with norms near the underflow
+    threshold, and dividing by `tiny` would overflow to inf and poison the
+    Gram Cholesky with NaNs. Columns at the floor stay ~0 and are absorbed
+    by CholQR's jitter."""
     nrm = jnp.linalg.norm(S, axis=0, keepdims=True)
-    return S / jnp.maximum(nrm, jnp.finfo(S.dtype).tiny)
+    floor = jnp.finfo(S.dtype).eps * jnp.maximum(jnp.max(nrm), 1.0)
+    return S / jnp.maximum(nrm, floor)
+
+
+def _hi(x: jax.Array) -> jax.Array:
+    """Upcast to float64 for coefficient-level algebra.
+
+    Mixed-precision policy: all O(n)-sized blocks stay in the compute dtype
+    (float32 on TPU — bandwidth and MXU throughput), but the small Gram /
+    Cholesky / eigh coefficient problems run in float64. In float32 these
+    coefficient problems carry absolute noise at eps * ||Gram|| which rivals
+    eigenvalue gaps and floors eigensolver convergence around 1e-2 (measured
+    on city10000); the f64 contractions are O(n q^2) emulated MACs — noise
+    there is what's eliminated, at negligible cost next to the O(n dmax q)
+    operator applies."""
+    return x.astype(jnp.float64)
 
 
 def _cholqr(S: jax.Array) -> jax.Array:
-    """One CholeskyQR pass: Q = S @ chol(S^T S + jitter)^-T.
+    """One CholeskyQR pass: Q = S @ chol(S^T S + jitter)^-1.
 
     MXU-friendly (one Gram matmul + tiny Cholesky + triangular solve)
-    and far cheaper to compile and run than Householder QR. The jitter
-    keeps the Cholesky finite on rank-deficient bases (which LOBPCG
-    produces at convergence); the resulting extra directions are harmless
-    because the shifted operator bounds every Ritz value below by
+    and far cheaper to compile and run than Householder QR. The Gram and
+    the inverse-factor coefficients are computed in float64 (see _hi);
+    only the final (n, k) @ (k, k) application runs in the compute dtype.
+    The jitter keeps the Cholesky finite on rank-deficient bases (which
+    LOBPCG produces at convergence); the resulting extra directions are
+    harmless because the shifted operator bounds every Ritz value below by
     lambda_2 (see module docstring)."""
-    G = S.T @ S
+    S64 = _hi(S)
+    G = S64.T @ S64
     k = G.shape[0]
     jitter = k * jnp.finfo(S.dtype).eps * (jnp.trace(G) + 1.0)
-    R = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=S.dtype), upper=True)
-    Q = jax.scipy.linalg.solve_triangular(R.T, S.T, lower=True).T
-    return Q
+    R = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=G.dtype), upper=True)
+    Rinv = jax.scipy.linalg.solve_triangular(
+        R, jnp.eye(k, dtype=G.dtype), lower=False
+    )
+    return S @ Rinv.astype(S.dtype)
 
 
 def _orth(S: jax.Array) -> jax.Array:
@@ -134,8 +160,10 @@ def lobpcg_fiedler(
     # --- init: Rayleigh-Ritz within the (projected, orthonormalized) X0.
     X = _orth(project(X0))
     AX = apply_shifted(X)
-    H = X.T @ AX
+    H = _hi(X).T @ _hi(AX)
     lam, Y = jnp.linalg.eigh((H + H.T) / 2)
+    lam = lam.astype(dtype)
+    Y = Y.astype(dtype)
     X = X @ Y
     AX = AX @ Y
     # Previous-iterate block (plays the role of LOBPCG's P direction:
@@ -172,11 +200,11 @@ def lobpcg_fiedler(
         S = jnp.concatenate([X, _colnorm(W), _colnorm(P)], axis=1)  # (n, 3q)
         Q = _orth(S)
         AQ = apply_shifted(Q)
-        H = Q.T @ AQ
+        H = _hi(Q).T @ _hi(AQ)
         H = (H + H.T) / 2
         evals, Y = jnp.linalg.eigh(H)
-        Cmat = Y[:, :q]
-        lam_new = evals[:q]
+        Cmat = Y[:, :q].astype(dtype)
+        lam_new = evals[:q].astype(dtype)
         X_new = Q @ Cmat
         AX_new = AQ @ Cmat
         res_new = residual(lam_new, X_new, AX_new)
@@ -243,61 +271,61 @@ def tracemin_fiedler(
 
     X = _orth(project(X0))
     AX = apply_shifted(X)
-    H = X.T @ AX
+    H = _hi(X).T @ _hi(AX)
     lam, Y0 = jnp.linalg.eigh((H + H.T) / 2)
+    Y0 = Y0.astype(dtype)
     X = X @ Y0
     AX = AX @ Y0
-    lam = lam[:q]
+    lam = lam[:q].astype(dtype)
+    # Previous-iterate memory block (LOBPCG's P term): span[X_new, Y, X_old]
+    # accumulates Krylov progress across restarts, which matters when the
+    # fixed-budget inner CG can only partially resolve the preconditioner's
+    # blind spots (global modes a local tridiagonal solve can't see).
+    Xprev = project(jax.random.normal(jax.random.PRNGKey(7), (n, q), dtype=dtype))
 
     def residual(lam, X, AX):
         r = AX[:, 0] - lam[0] * X[:, 0]
         return jnp.sum(jnp.abs(r)) / lnorm.astype(dtype)
 
     def cond(carry):
-        X, AX, lam, it, res, best, since = carry
+        X, AX, lam, Xprev, it, res, best, since = carry
         return jnp.logical_and(
             jnp.logical_and(it < maxiter, res > eff_tol),
             since < stall_patience,
         )
 
     def body(carry):
-        X, AX, lam, it, res, best, since = carry
+        X, AX, lam, Xprev, it, res, best, since = carry
         # Inverse-iteration step: Y ~= A'^-1 X, warm-started at X / lam.
         inv_lam = 1.0 / jnp.maximum(lam, sigma)
         Y = pcg_fixed(apply_inner, X, Minv, iters=inner_iters, X0=X * inv_lam[None, :])
-        # Polynomial smoothing (I - A'/c)^2: float32 CG leaves noise across
-        # the spectrum, and its high-eigenvalue part enters the Rayleigh-
-        # Ritz Gram weighted by lambda — enough to rival the lambda_3 -
-        # lambda_2 gap and stall convergence at ~1e-2. Two damping passes
-        # multiply a lambda-component by (1 - lambda/c)^2: ~1 at the bottom
-        # of the spectrum (signal preserved), ~0 at the top (noise killed).
-        Y = Y - apply_shifted(Y) / c
-        Y = Y - apply_shifted(Y) / c
         Y = project(Y)
-        # Extract the correction component of Y perpendicular to X in the
+        # Extract the correction components perpendicular to X in the
         # vector space (CGS2) — see _ortho_against for why this cannot be
         # left to the Gram-based orthonormalization in float32.
         Yp = _colnorm(_ortho_against(X, Y))
-        S = jnp.concatenate([X, Yp], axis=1)  # (n, 2q)
+        Pp = _colnorm(_ortho_against(X, Xprev))
+        S = jnp.concatenate([X, Yp, Pp], axis=1)  # (n, 3q)
         Q = _orth(S)
         AQ = apply_shifted(Q)
-        H = Q.T @ AQ
+        H = _hi(Q).T @ _hi(AQ)
         H = (H + H.T) / 2
         evals, C = jnp.linalg.eigh(H)
-        lam_new = evals[:q]
-        X_new = Q @ C[:, :q]
-        AX_new = AQ @ C[:, :q]
+        Cq = C[:, :q].astype(dtype)
+        lam_new = evals[:q].astype(dtype)
+        X_new = Q @ Cq
+        AX_new = AQ @ Cq
         res_new = residual(lam_new, X_new, AX_new)
         improved = res_new < stall_factor * best
         best_new = jnp.minimum(best, res_new)
         since_new = jnp.where(improved, 0, since + 1)
-        return (X_new, AX_new, lam_new, it + 1, res_new, best_new, since_new)
+        return (X_new, AX_new, lam_new, X, it + 1, res_new, best_new, since_new)
 
     it0 = jnp.asarray(0, jnp.int32)
     res0 = residual(lam, X, AX)
     zero = jnp.asarray(0, jnp.int32)
-    X, AX, lam, it, res, best, since = jax.lax.while_loop(
-        cond, body, (X, AX, lam, it0, res0, res0, zero)
+    X, AX, lam, Xprev, it, res, best, since = jax.lax.while_loop(
+        cond, body, (X, AX, lam, Xprev, it0, res0, res0, zero)
     )
     return FiedlerResult(lam=lam, X=X, iters=it, res=res)
 

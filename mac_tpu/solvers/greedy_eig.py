@@ -46,7 +46,7 @@ class GreedyEig:
         self.fiedler_tol = float(fiedler_tol)
 
         if dtype is None:
-            dtype = jnp.zeros(0).dtype
+            dtype = _fiedler.default_dtype()
         self.dtype = dtype
         all_idx = np.concatenate([fixed_idx, cand_idx], axis=0)
         self.op = build_operator(all_idx, self.num_poses)

@@ -94,7 +94,9 @@ class GreedyESP:
         self.chunk = int(chunk)
 
         if dtype is None:
-            dtype = jnp.zeros(0).dtype
+            from mac_tpu.utils.fiedler import default_dtype
+
+            dtype = default_dtype()
         self.dtype = dtype
         self._op_fixed = build_operator(fixed_idx, self.num_nodes)
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
@@ -204,6 +206,25 @@ class GreedyESP:
         assert ks[0] > 0, "budgets must be positive"
         G = self._compute_gram()
         w = self.edge_weights
+
+        # Native C++ selection core when built (mac_tpu.native); identical
+        # semantics to the Python loop below.
+        from mac_tpu import native
+
+        order = native.esp_lazy_select(G, w, ks)
+        if order is not None:
+            result = np.zeros(m)
+            results, times, selected = [], [], []
+            pos = 0
+            for k in ks:
+                while pos < k:
+                    p = int(order[pos])
+                    result[p] = 1.0
+                    selected.append(self.all_candidate_edges[p])
+                    pos += 1
+                times.append(timer() - start)
+                results.append(result.copy())
+            return results, selected, times
 
         kmax = ks[-1]
         # Selected-pivot data: pivot index and 1/sqrt(denominator) per row.

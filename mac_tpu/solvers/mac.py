@@ -50,8 +50,9 @@ class MAC:
     fixed_edges / candidate_edges: lists of `Edge` (or packed (idx, w)
         array pairs).
     num_nodes: number of graph nodes.
-    fiedler_method: 'lobpcg' (default; reference names 'tracemin_lu' /
-        'tracemin_cholesky' are accepted and map here), or 'dense'.
+    fiedler_method: 'tracemin' (default; reference names 'tracemin_lu' /
+        'tracemin_cholesky' are accepted and map here), 'lobpcg', or
+        'dense'.
     fiedler_tol: eigensolver residual tolerance.
     min_selection_weight_tol: selection weights below this are treated as
         exactly zero (mask, not prune — static shapes).
@@ -90,7 +91,7 @@ class MAC:
         assert num_edges <= 0.5 * n * (n - 1)
 
         if dtype is None:
-            dtype = jnp.zeros(0).dtype
+            dtype = _fiedler.default_dtype()
         self.dtype = dtype
         self.num_nodes = n
         self.fixed_idx = fixed_idx

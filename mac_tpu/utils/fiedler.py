@@ -6,9 +6,10 @@ tolerance, and returns the 3-tuple (sigma[0], X[:, 0], X) so callers can
 warm-start subsequent solves.
 
 Reference method names 'tracemin_lu' / 'tracemin_cholesky' are accepted and
-dispatch to the TPU-native engine ('lobpcg'; see mac_tpu.ops.lobpcg — there
-is no LU/Cholesky on TPU, the preconditioned block eigensolver owns their
-role). 'dense' forces the exact dense-eigh oracle.
+dispatch to the TPU-native engine ('tracemin': preconditioned block inverse
+iteration — see mac_tpu.ops.lobpcg; there is no LU/Cholesky on TPU, inner
+CG with a tridiagonal-part solve owns their role). 'lobpcg' selects the
+LOBPCG variant; 'dense' forces the exact dense-eigh oracle.
 
 Unlike the reference (which delegates to NetworkX private internals at
 fiedler.py:42), the solver is owned by this repo and fully jitted. It also
@@ -47,6 +48,13 @@ DENSE_EIGH_MAX_N = 256
 _DEFAULT_SEED = 7  # reference quirk preserved: np.random.RandomState(7)
 
 
+def default_dtype():
+    """Backend-aware compute dtype: float32 on accelerators (bandwidth,
+    MXU), float64 on CPU (numerical-parity mode). x64 is always enabled
+    (mac_tpu/__init__.py) so the choice is explicit, not implicit."""
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
 def default_block(n: int, q: Optional[int] = None, seed: Optional[int] = None,
                   dtype=None) -> np.ndarray:
     """Deterministic initial eigenvector block: q = min(4, n-1) columns of
@@ -77,11 +85,13 @@ def fiedler_pair_op(
 
     Traceable: usable inside jit / vmap / while_loop.
 
-    The LOBPCG preconditioner is `inner_iters` CG steps on the shifted
-    operator, themselves preconditioned by an exact solve of the
-    tridiagonal part of L(w) (diagonal + odometry-chain band — see
-    mac_tpu.ops.tridiag). This inexact shift-invert is what replaces the
-    reference's SuperLU/CHOLMOD inner solves. `chain_w` is accepted for
+    The default method is TRACEMIN: block inverse iteration whose inner
+    solves are `inner_iters` CG steps preconditioned by an exact solve of
+    the tridiagonal part of L(w) (diagonal + odometry-chain band — see
+    mac_tpu.ops.tridiag). This inexact shift-invert replaces the
+    reference's SuperLU/CHOLMOD inner solves. `inner_iters` is the
+    float32 accuracy lever: the achievable eigenvector error tracks the
+    inner-solve accuracy in the low (global) modes. `chain_w` is accepted for
     API compatibility but the tridiagonal part is extracted from (op, w)
     directly, which also covers non-chain graphs (falls back to diagonal
     scaling naturally).
@@ -162,15 +172,15 @@ def find_fiedler_pair(
     L: scipy sparse or dense (n, n) Laplacian.
     X: optional (n, q) warm-start block (q = min(4, n-1) if None, seeded
        deterministically like the reference).
-    method: 'lobpcg' (default), 'dense', or the reference names
-       'tracemin_lu' / 'tracemin_cholesky' (mapped to 'lobpcg').
+    method: 'tracemin' (default), 'lobpcg', 'dense', or the reference
+       names 'tracemin_lu' / 'tracemin_cholesky' (mapped to 'tracemin').
     seed: optional numpy RandomState for the initial block.
 
     Returns (sigma_0, X[:, 0], X) — reference: fiedler.py:44.
     """
     n = L.shape[0]
     q = min(4, n - 1)
-    dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    dtype = default_dtype()
     if X is None:
         if isinstance(seed, np.random.RandomState):
             X = np.asarray(seed.normal(size=(q, n))).T

@@ -41,7 +41,7 @@ def main():
     dtype = jnp.float32
     w = jnp.asarray(w_np, dtype)
 
-    for q, maxit, inner in ((4, 150, 16), (16, 80, 16)):
+    for q, maxit, inner in ((4, 60, 16), (4, 30, 48), (8, 40, 24)):
         X0 = jnp.asarray(_fiedler.default_block(n, q), dtype)
 
         def make(maxit=maxit, inner=inner):
