@@ -38,10 +38,11 @@ def main():
     k = len(cands) // 2
 
     x_init = NaiveGreedy(cands).subset(k)
-    # f32 TPU configuration: deep inner CG (the accuracy lever — see
-    # mac_tpu.ops.lobpcg), bounded outer iterations (warm starts across
-    # Frank-Wolfe iterations carry most of the convergence).
-    mac = MAC(fixed, cands, n, fiedler_inner_iters=48, fiedler_maxiter=60)
+    # f32 TPU configuration: the two-grid preconditioner (exact-chain
+    # smoother + dense coarse correction, mac_tpu.ops.twogrid) converges in
+    # ~6 outer iterations with ~10 inner CG steps; warm starts across
+    # Frank-Wolfe iterations carry most of the remaining convergence.
+    mac = MAC(fixed, cands, n, fiedler_inner_iters=10, fiedler_maxiter=40)
 
     t0 = time.perf_counter()
     mac.solve(k, x_init, rounding="nearest", max_iters=20, use_cache=True)

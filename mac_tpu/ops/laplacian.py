@@ -56,18 +56,24 @@ class GraphOperator:
     eid_tbl: jax.Array
     chain_slot: jax.Array  # (m,) int32: lo endpoint if |i-j| == 1 else sentinel n-1
     chain_mask: jax.Array  # (m,) bool: edge connects consecutive nodes
+    coarse_idx: jax.Array  # (m, 2) int32: edge endpoints // coarse_s
     n: int = dataclasses.field(metadata=dict(static=True))
     mode: str = dataclasses.field(metadata=dict(static=True))
+    coarse_s: int = dataclasses.field(metadata=dict(static=True))
+    coarse_nc: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def m(self) -> int:
         return self.idx.shape[0]
 
 
-def build_operator(idx: np.ndarray, num_nodes: int, mode: Optional[str] = None) -> GraphOperator:
+def build_operator(idx: np.ndarray, num_nodes: int, mode: Optional[str] = None,
+                   target_nc: int = 512) -> GraphOperator:
     """Build a GraphOperator from an (m, 2) edge-index array (host side).
 
     mode: 'dense', 'ell', or None (auto: dense iff n <= DENSE_MAX_N).
+    target_nc: approximate coarse-grid size for the two-grid preconditioner
+        (contiguous aggregates of s = ceil(n / target_nc) nodes).
     """
     idx = np.asarray(idx, dtype=np.int32).reshape(-1, 2)
     n = int(num_nodes)
@@ -103,14 +109,22 @@ def build_operator(idx: np.ndarray, num_nodes: int, mode: Optional[str] = None) 
     is_chain = (hi - lo) == 1
     slot = np.where(is_chain, lo, max(n - 1, 0)).astype(np.int32)
 
+    # Coarse aggregation (two-grid preconditioner): node i -> i // s.
+    s = max(1, int(np.ceil(n / target_nc)))
+    nc = int(np.ceil(n / s))
+    coarse_idx = (idx // s).astype(np.int32)
+
     return GraphOperator(
         idx=jnp.asarray(idx),
         nbr_tbl=jnp.asarray(nbr),
         eid_tbl=jnp.asarray(eid),
         chain_slot=jnp.asarray(slot),
         chain_mask=jnp.asarray(is_chain),
+        coarse_idx=jnp.asarray(coarse_idx),
         n=n,
         mode=mode,
+        coarse_s=s,
+        coarse_nc=nc,
     )
 
 

@@ -231,8 +231,8 @@ def tracemin_fiedler(
     tol: float = 1e-8,
     maxiter: int = 200,
     inner_iters: int = 16,
-    stall_patience: int = 12,
-    stall_factor: float = 0.995,
+    stall_patience: int = 5,
+    stall_factor: float = 0.99,
 ) -> FiedlerResult:
     """Block inverse (subspace) iteration with Rayleigh-Ritz — TRACEMIN.
 
@@ -253,7 +253,11 @@ def tracemin_fiedler(
     n, q = X0.shape
     dtype = X0.dtype
     eps = jnp.finfo(dtype).eps
-    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 32 * eps)
+    # Requested tolerances below the precision floor are clamped so the
+    # loop exits on convergence instead of burning maxiter: ~1e-3 in
+    # float32 (the measured residual floor of the inexact-inner-solve
+    # iteration at inner_iters ~ 48), ~2e-12 in float64.
+    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 8192 * eps)
     c = lnorm.astype(dtype)
     # Tiny shift keeps the inner solves bounded when lambda_2 = 0
     # (disconnected graphs); Ritz values are computed against A' itself,

@@ -41,6 +41,7 @@ from mac_tpu.ops.lobpcg import (
 from mac_tpu.ops.cg import pcg_fixed
 from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored
 from mac_tpu.ops import precond as _precond
+from mac_tpu.ops import twogrid as _twogrid
 
 # Graphs at or below this size are solved exactly with dense eigh.
 DENSE_EIGH_MAX_N = 256
@@ -79,6 +80,7 @@ def fiedler_pair_op(
     inner_iters: int = 16,
     chain_w: Optional[jax.Array] = None,
     method: str = "tracemin",
+    precond: str = "twogrid",
     apply_override=None,
 ) -> FiedlerResult:
     """Device-side Fiedler solve on a GraphOperator with weights w.
@@ -117,17 +119,20 @@ def fiedler_pair_op(
     def apply_shifted(V):
         return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
 
-    d, e = lap_tridiagonal_part(op, w)
-    eps = 100 * jnp.finfo(w.dtype).eps
-    fac = tridiag_ldl(d + eps * jnp.max(d), e)
+    if precond == "twogrid":
+        Minv = _twogrid.make_twogrid_precond(op, w, apply_L)
+    else:
+        d, e = lap_tridiagonal_part(op, w)
+        eps = 100 * jnp.finfo(w.dtype).eps
+        fac = tridiag_ldl(d + eps * jnp.max(d), e)
 
-    def center(B):
-        return B - jnp.mean(B, axis=0, keepdims=True)
+        def center(B):
+            return B - jnp.mean(B, axis=0, keepdims=True)
 
-    def Minv(B):
-        # Restrict the tridiagonal solve to 1^perp so the shifted constant
-        # mode is never amplified.
-        return center(tridiag_solve_factored(fac, center(B)))
+        def Minv(B):
+            # Restrict the tridiagonal solve to 1^perp so the shifted
+            # constant mode is never amplified.
+            return center(tridiag_solve_factored(fac, center(B)))
 
     if method == "lobpcg":
         pc = lambda R: pcg_fixed(apply_shifted, R, Minv, iters=inner_iters)

@@ -41,26 +41,13 @@ def main():
     dtype = jnp.float32
     w = jnp.asarray(w_np, dtype)
 
-    for q, maxit, inner in ((4, 60, 16), (4, 30, 48), (8, 40, 24)):
+    for q, maxit, inner in ((4, 40, 6), (4, 40, 10), (2, 40, 8)):
         X0 = jnp.asarray(_fiedler.default_block(n, q), dtype)
 
         def make(maxit=maxit, inner=inner):
             def f(w, X):
-                apply_L = lambda V: lap_apply(op, w, V)
-                lnorm = lap_inf_norm(op, w)
-                d, e = lap_tridiagonal_part(op, w)
-                eps = 100 * jnp.finfo(w.dtype).eps
-                fac = tridiag_ldl(d + eps * jnp.max(d), e)
-
-                def center(B):
-                    return B - jnp.mean(B, axis=0, keepdims=True)
-
-                def Minv(B):
-                    return center(tridiag_solve_factored(fac, center(B)))
-
-                return tracemin_fiedler(
-                    apply_L, X, lnorm, Minv, tol=1e-9, maxiter=maxit,
-                    inner_iters=inner, stall_patience=100000,
+                return _fiedler.fiedler_pair_op(
+                    op, w, X, tol=1e-9, maxiter=maxit, inner_iters=inner,
                 )
             return jax.jit(f)
 
