@@ -88,3 +88,14 @@ def tridiag_solve_factored(f: TridiagFactor, B: jax.Array) -> jax.Array:
 def tridiag_solve(d: jax.Array, e: jax.Array, B: jax.Array) -> jax.Array:
     """Solve the SPD tridiagonal system (diag d, off-diag e) against (n, q)."""
     return tridiag_solve_factored(tridiag_ldl(d, e), B)
+
+
+def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
+    """Backend-dispatched solve: the fused Pallas kernel on TPU (one kernel
+    instead of ~30 scan stages — this sits in the eigensolver's innermost
+    loop), the associative-scan path elsewhere."""
+    if jax.default_backend() == "tpu":
+        from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
+
+        return tridiag_solve_fused(f.dp, f.l, B)
+    return tridiag_solve_factored(f, B)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mac_tpu.ops.laplacian import GraphOperator, lap_tridiagonal_part
-from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored
+from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored_fast
 
 
 def make_twogrid_precond(
@@ -80,7 +80,7 @@ def make_twogrid_precond(
         return B - jnp.mean(B, axis=0, keepdims=True)
 
     def smooth(B):
-        return tridiag_solve_factored(fac, B)
+        return tridiag_solve_factored_fast(fac, B)
 
     def restrict(R):  # (n, q) -> (nc, q): sum within aggregates
         if pad:

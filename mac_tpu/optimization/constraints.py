@@ -21,6 +21,16 @@ def solve_subset_box_lp(g: jax.Array, k: int) -> jax.Array:
     return jnp.zeros_like(g).at[idx].set(1.0)
 
 
+def solve_subset_box_lp_dynamic(g: jax.Array, k: jax.Array) -> jax.Array:
+    """Like solve_subset_box_lp but with a *traced* k (vmappable over
+    budgets): indicator of the top-k entries via argsort + rank mask."""
+    g = jnp.asarray(g)
+    m = g.shape[0]
+    order = jnp.argsort(-g)
+    sel_sorted = (jnp.arange(m) < k).astype(g.dtype)
+    return jnp.zeros_like(g).at[order].set(sel_sorted)
+
+
 def solve_box_lp(g: jax.Array) -> jax.Array:
     """max <g, x> s.t. 0 <= x <= 1: indicator of positive entries
     (reference: constraints.py:24-37)."""

@@ -46,7 +46,7 @@ from mac_tpu.ops.laplacian import (
     lap_apply_reduced,
     lap_tridiagonal_part,
 )
-from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored
+from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored_fast
 from mac_tpu.utils.graphs import Edge, edges_to_arrays
 
 
@@ -113,7 +113,7 @@ class GreedyESP:
         fac = tridiag_ldl(d[1:] + eps * jnp.max(d), e[1:])
 
         def Minv(V):
-            sol = tridiag_solve_factored(fac, V[1:, :])
+            sol = tridiag_solve_factored_fast(fac, V[1:, :])
             return jnp.concatenate([jnp.zeros((1, V.shape[1]), V.dtype), sol], axis=0)
 
         apply_A = lambda V: lap_apply_reduced(op, w, V)

@@ -39,7 +39,12 @@ from mac_tpu.optimization import constraints
 from mac_tpu.optimization.frankwolfe import frank_wolfe_with_state
 from mac_tpu.utils import fiedler as _fiedler
 from mac_tpu.utils.graphs import edges_to_arrays, weight_graph_lap_from_edges
-from mac_tpu.utils.rounding import round_madow_base, round_nearest
+from mac_tpu.utils.rounding import (
+    round_madow_base,
+    round_madow_base_dynamic,
+    round_nearest,
+    round_nearest_dynamic,
+)
 
 
 class MAC:
@@ -332,3 +337,81 @@ class MAC:
         if return_rounding_time:
             return rounded, unrounded, upper, rounding_time
         return rounded, unrounded, upper
+
+    # ------------------------------------------------------------ batch sweep
+
+    def _fw_dynamic_impl(self, x0, X0, k, *, maxiter, relative_duality_gap_tol,
+                         grad_norm_tol, rounding: str, seed_key):
+        """One dynamic-k solve (k traced): used under vmap by solve_sweep."""
+        def problem(x, X):
+            return self._problem_impl(x, X)
+
+        solve_lp = lambda g: constraints.solve_subset_box_lp_dynamic(g, k)
+        x, u, X, it = frank_wolfe_with_state(
+            x0,
+            X0,
+            problem,
+            solve_lp,
+            maxiter=maxiter,
+            relative_duality_gap_tol=relative_duality_gap_tol,
+            grad_norm_tol=grad_norm_tol,
+        )
+        if rounding == "madow":
+            rounded = round_madow_base_dynamic(x, k, seed_key)
+        else:
+            rounded = round_nearest_dynamic(x, k, weights=self._w_cand)
+        # k >= m shortcut, per lane.
+        m = x.shape[0]
+        all_ones = jnp.ones_like(x)
+        take_all = k >= m
+        rounded = jnp.where(take_all, all_ones, rounded)
+        x = jnp.where(take_all, all_ones, x)
+        return rounded, x, u, it
+
+    def solve_sweep(
+        self,
+        ks,
+        x_init=None,
+        rounding: str = "nearest",
+        max_iters: int = 5,
+        relative_duality_gap_tol: float = 1e-4,
+        grad_norm_tol: float = 1e-8,
+        seed: int = 0,
+    ):
+        """Solve an entire budget sweep as ONE batched (vmapped) program.
+
+        The reference's experiment driver loops over budgets serially
+        (examples/g2o_experiment.py:284-336); here every budget runs as a
+        vmap lane of a single compiled Frank-Wolfe solve with a dynamically
+        masked top-k oracle — lanes can additionally be sharded over the
+        'sweep' axis of a device mesh.
+
+        ks: (R,) budgets. x_init: optional (R, m) initial iterates (defaults
+        to uniform k/m per lane). Returns (rounded (R, m), unrounded (R, m),
+        upper (R,)) as numpy arrays.
+        """
+        ks = np.asarray(ks, dtype=np.int64)
+        m = len(self.weights)
+        R = len(ks)
+        if x_init is None:
+            x_init = np.repeat(
+                (np.minimum(ks, m) / m)[:, None], m, axis=1
+            ).astype(np.float64)
+        x_init = jnp.asarray(x_init, dtype=self.dtype)
+        assert x_init.shape == (R, m)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), R)
+        fn = functools.partial(
+            self._fw_dynamic_impl,
+            maxiter=int(max_iters),
+            relative_duality_gap_tol=jnp.asarray(relative_duality_gap_tol, self.dtype),
+            grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
+            rounding=rounding,
+        )
+        batched = jax.jit(
+            jax.vmap(lambda x0, k, key: fn(x0, self._X0, jnp.asarray(k), seed_key=key))
+        )
+        rounded, unrounded, upper, iters = batched(
+            x_init, jnp.asarray(ks), keys
+        )
+        return np.asarray(rounded), np.asarray(unrounded), np.asarray(upper)

@@ -39,7 +39,7 @@ from mac_tpu.ops.lobpcg import (
     tracemin_fiedler,
 )
 from mac_tpu.ops.cg import pcg_fixed
-from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored
+from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored_fast
 from mac_tpu.ops import precond as _precond
 from mac_tpu.ops import twogrid as _twogrid
 
@@ -132,7 +132,7 @@ def fiedler_pair_op(
         def Minv(B):
             # Restrict the tridiagonal solve to 1^perp so the shifted
             # constant mode is never amplified.
-            return center(tridiag_solve_factored(fac, center(B)))
+            return center(tridiag_solve_factored_fast(fac, center(B)))
 
     if method == "lobpcg":
         pc = lambda R: pcg_fixed(apply_shifted, R, Minv, iters=inner_iters)

@@ -47,6 +47,33 @@ def round_nearest(w, k: int, weights=None, break_ties_decimal_tol: Optional[int]
     return jnp.zeros_like(w).at[top].set(1.0)
 
 
+def round_nearest_dynamic(w, k: jax.Array, weights=None, decimal_tol: int = 10):
+    """round_nearest with a *traced* k (vmappable over budgets); always
+    applies the lexicographic original-weight tie-break."""
+    w = jnp.asarray(w)
+    m = w.shape[0]
+    scale = 10.0 ** int(decimal_tol)
+    w_trunc = jnp.round(w * scale) / scale
+    tie = jnp.zeros_like(w) if weights is None else jnp.asarray(weights, w.dtype)
+    order = jnp.lexsort((tie, w_trunc))  # ascending; take the top k ranks
+    sel_sorted = (jnp.arange(m) >= m - k).astype(w.dtype)
+    return jnp.zeros_like(w).at[order].set(sel_sorted)
+
+
+def round_madow_base_dynamic(w, k: jax.Array, key: jax.Array):
+    """round_madow_base with a *traced* k (vmappable over budgets)."""
+    w = jnp.asarray(w)
+    u = jax.random.uniform(key, (), dtype=w.dtype)
+    kf = k.astype(w.dtype)
+    total = jnp.sum(w)
+    wn = w * (kf / jnp.maximum(total, jnp.finfo(w.dtype).tiny))
+    sumw = jnp.cumsum(wn)
+    sumw = sumw.at[-1].set(kf)
+    pi = jnp.concatenate([jnp.zeros((1,), w.dtype), sumw[:-1]])
+    x = jnp.floor(sumw - u) - jnp.floor(pi - u)
+    return jnp.clip(x, 0.0, 1.0)
+
+
 def round_random(w, k: int, key: jax.Array):
     """Independent Bernoulli rounding: E[#selected] = |w|
     (reference: rounding.py:44-61)."""

@@ -41,7 +41,7 @@ def main():
     dtype = jnp.float32
     w = jnp.asarray(w_np, dtype)
 
-    for q, maxit, inner in ((4, 40, 6), (4, 40, 10), (2, 40, 8)):
+    for q, maxit, inner in ((8, 40, 10), (16, 40, 10), (8, 40, 16)):
         X0 = jnp.asarray(_fiedler.default_block(n, q), dtype)
 
         def make(maxit=maxit, inner=inner):
