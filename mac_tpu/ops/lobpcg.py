@@ -208,9 +208,12 @@ def lobpcg_fiedler(
         X_new = Q @ Cmat
         AX_new = AQ @ Cmat
         res_new = residual(lam_new, X_new, AX_new)
+        near_floor = res_new < 4 * eff_tol  # see tracemin_fiedler's note
         improved = res_new < 0.97 * best
         best_new = jnp.minimum(best, res_new)
-        since_new = jnp.where(improved, 0, since + 1)
+        since_new = jnp.where(
+            jnp.logical_and(near_floor, ~improved), since + 1, 0
+        )
         return (X_new, AX_new, lam_new, X, it + 1, res_new, best_new, since_new)
 
     it0 = jnp.asarray(0, jnp.int32)
@@ -254,10 +257,12 @@ def tracemin_fiedler(
     dtype = X0.dtype
     eps = jnp.finfo(dtype).eps
     # Requested tolerances below the precision floor are clamped so the
-    # loop exits on convergence instead of burning maxiter: ~1e-3 in
-    # float32 (the measured residual floor of the inexact-inner-solve
-    # iteration at inner_iters ~ 48), ~2e-12 in float64.
-    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 8192 * eps)
+    # loop exits on convergence instead of burning maxiter: ~2.4e-4 in
+    # float32 (slightly below the two-grid iteration's typical residual
+    # floor; the stall detector covers the gap), ~4.5e-13 in float64.
+    # Looser clamps (1e-3) were measured to leave ~1% eigenvalue error on
+    # kitti_05, enough for reported objectives to cross the dual bound.
+    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 2048 * eps)
     c = lnorm.astype(dtype)
     # Tiny shift keeps the inner solves bounded when lambda_2 = 0
     # (disconnected graphs); Ritz values are computed against A' itself,
@@ -320,9 +325,20 @@ def tracemin_fiedler(
         X_new = Q @ Cq
         AX_new = AQ @ Cq
         res_new = residual(lam_new, X_new, AX_new)
+        # Stall detection exists to catch the *precision floor* (residual
+        # plateaus just above the clamped tolerance, common in float32) —
+        # it must NOT fire during a merely-slow convergence phase far from
+        # tolerance, which produces silently-unconverged (overestimated)
+        # eigenvalues. Only count non-improving iterations near the floor.
+        # "Near the floor" must be tight: with a loose multiple the stall
+        # counter fires during slow-but-real convergence phases and returns
+        # silently unconverged eigenvalues (observed on kitti_05).
+        near_floor = res_new < 4 * eff_tol
         improved = res_new < stall_factor * best
         best_new = jnp.minimum(best, res_new)
-        since_new = jnp.where(improved, 0, since + 1)
+        since_new = jnp.where(
+            jnp.logical_and(near_floor, ~improved), since + 1, 0
+        )
         return (X_new, AX_new, lam_new, X, it + 1, res_new, best_new, since_new)
 
     it0 = jnp.asarray(0, jnp.int32)

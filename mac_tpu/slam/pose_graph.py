@@ -152,3 +152,51 @@ def rpm_to_arrays(measurements) -> Tuple[np.ndarray, np.ndarray]:
     idx = np.array([[m.i, m.j] for m in measurements], dtype=np.int32)
     w = np.array([m.kappa for m in measurements])
     return idx, w
+
+
+def rpm_to_nx(measurements):
+    """NetworkX graph weighted by kappa (reference:
+    pose_graph_utils.py:398-413)."""
+    import networkx as nx
+
+    G = nx.Graph()
+    for m in measurements:
+        G.add_edge(m.i, m.j, weight=m.kappa)
+    return G
+
+
+def plot_poses(xhat: np.ndarray, measurements, show: bool = True,
+               color: str = "b", alpha: float = 0.25, ax=None):
+    """Render an estimated pose graph: the odometry chain as a solid
+    polyline, loop closures as faint segments (reference:
+    pose_graph_utils.py:105-195). Works for 2D and 3D variable matrices;
+    returns the matplotlib axis."""
+    import matplotlib.pyplot as plt
+
+    from mac_tpu.slam.metrics import normalize_poses
+
+    t, _ = normalize_poses(np.asarray(xhat))
+    d = t.shape[0]
+    if ax is None:
+        fig = plt.figure()
+        ax = (fig.add_subplot(projection="3d") if d == 3
+              else fig.add_subplot(1, 1, 1))
+    if d == 2:
+        ax.plot(t[0], t[1], color=color, alpha=1.0, linewidth=0.5)
+    else:
+        ax.plot3D(t[0], t[1], t[2], color=color, alpha=1.0, linewidth=0.3)
+    for m in measurements:
+        if abs(m.i - m.j) <= 1:
+            continue
+        seg = t[:, [m.i, m.j]]
+        if d == 2:
+            ax.plot(seg[0], seg[1], color=color, alpha=alpha, linewidth=0.5)
+        else:
+            ax.plot3D(seg[0], seg[1], seg[2], color=color, alpha=alpha,
+                      linewidth=0.3)
+    if d == 2:
+        ax.set_aspect("equal")
+    ax.set_axis_off()
+    if show:
+        plt.show()
+    return ax

@@ -130,6 +130,12 @@ class MAC:
 
         self._q = min(4, n - 1)
         self._X0 = jnp.asarray(_fiedler.default_block(n, self._q), dtype=dtype)
+        # Warm starting lives INSIDE the Frank-Wolfe loop (consecutive
+        # iterates share a trajectory). Standalone evaluations use the
+        # deterministic cold block _X0, like the reference: warm-starting
+        # them from a *different* selection's converged eigenblock was
+        # observed to stall the float32 eigensolver (kitti_05) and return
+        # overestimated objectives.
 
         # Per-instance compiled entry points (parameterized by static args).
         self._eval_jit = jax.jit(self._eval_impl)
@@ -160,13 +166,13 @@ class MAC:
             apply_override=None if self._sharded is None else self._sharded.apply,
         )
 
-    def _eval_impl(self, x: jax.Array) -> jax.Array:
-        res = self._fiedler(self._w_all(x), self._X0)
+    def _eval_impl(self, x: jax.Array, X0: jax.Array) -> jax.Array:
+        res = self._fiedler(self._w_all(x), X0)
         return res.lam[0]
 
-    def _eval_vec_impl(self, x: jax.Array):
-        res = self._fiedler(self._w_all(x), self._X0)
-        return res.lam[0], res.X[:, 0]
+    def _eval_vec_impl(self, x: jax.Array, X0: jax.Array):
+        res = self._fiedler(self._w_all(x), X0)
+        return res.lam[0], res.X
 
     def _refine_lambda(self, x, v) -> float:
         """Float64 Rayleigh quotient of the Fiedler vector on the host: the
@@ -187,7 +193,7 @@ class MAC:
         return float((w * d * d).sum() / (v * v).sum())
 
     def _eval_many_impl(self, xs: jax.Array) -> jax.Array:
-        return jax.vmap(self._eval_impl)(xs)
+        return jax.vmap(lambda x: self._eval_impl(x, self._X0))(xs)
 
     def _problem_impl(self, x, X):
         res = self._fiedler(self._w_all(x), X)
@@ -245,10 +251,10 @@ class MAC:
         compute mode the returned value is refined to float64 on the host
         via the exact edge-sum Rayleigh quotient."""
         x = jnp.asarray(x, dtype=self.dtype)
+        lam, X = self._eval_vec_jit(x, self._X0)
         if self.dtype == jnp.float64:
-            return float(self._eval_jit(x))
-        lam, v = self._eval_vec_jit(x)
-        return self._refine_lambda(np.asarray(x), np.asarray(v))
+            return float(lam)
+        return self._refine_lambda(np.asarray(x), np.asarray(X[:, 0]))
 
     def problem(self, x, cache: Optional["MAC.Cache"] = None):
         """(F(x), grad F(x)), warm-starting from and updating `cache.Q`
