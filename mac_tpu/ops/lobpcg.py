@@ -121,6 +121,19 @@ def _ortho_against(X: jax.Array, Y: jax.Array) -> jax.Array:
     return Y
 
 
+def _shift_term(V: jax.Array, c) -> jax.Array:
+    """(c / n) * 1 1^T V with the column means accumulated in float64.
+
+    The shift constant c = ||L||_inf can exceed lambda_2 by 8+ orders of
+    magnitude on large chain-dominated pose graphs (ais2klinik); a float32
+    mean of an approximately-centered block carries ~eps error which the
+    multiplication by c amplifies to noise *above the eigen-signal*.
+    Accumulating the mean in float64 makes the rank-one correction
+    exact at float32 storage precision."""
+    m64 = jnp.mean(V.astype(jnp.float64), axis=0, keepdims=True)
+    return (jnp.asarray(c, jnp.float64) * m64).astype(V.dtype)
+
+
 def lobpcg_fiedler(
     apply_L: Callable[[jax.Array], jax.Array],
     X0: jax.Array,
@@ -146,8 +159,8 @@ def lobpcg_fiedler(
     c = lnorm.astype(dtype)
 
     def apply_shifted(V):
-        # A'V = LV + (c/n) * 1 (1^T V)
-        return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
+        # A'V = LV + (c/n) * 1 (1^T V), f64-accumulated (see _shift_term).
+        return apply_L(V) + _shift_term(V, c)
 
     if precond is None:
         precond = lambda B: B
@@ -236,6 +249,7 @@ def tracemin_fiedler(
     inner_iters: int = 16,
     stall_patience: int = 5,
     stall_factor: float = 0.99,
+    rel_tol: Optional[float] = None,
 ) -> FiedlerResult:
     """Block inverse (subspace) iteration with Rayleigh-Ritz — TRACEMIN.
 
@@ -270,13 +284,14 @@ def tracemin_fiedler(
     sigma = 32 * eps * c
 
     def apply_shifted(V):
-        return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
+        return apply_L(V) + _shift_term(V, c)
 
     def apply_inner(V):
         return apply_shifted(V) + sigma * V
 
     def project(V):
-        return V - jnp.mean(V, axis=0, keepdims=True)
+        m64 = jnp.mean(V.astype(jnp.float64), axis=0, keepdims=True)
+        return V - m64.astype(V.dtype)
 
     X = _orth(project(X0))
     AX = apply_shifted(X)
@@ -296,15 +311,37 @@ def tracemin_fiedler(
         r = AX[:, 0] - lam[0] * X[:, 0]
         return jnp.sum(jnp.abs(r)) / lnorm.astype(dtype)
 
+    # Eigenvalue-relative residual stopping: the legacy criterion
+    # ||r||_1/||L||_inf cannot certify convergence when lambda_2/||L|| is
+    # below the compute-dtype epsilon (ais2klinik: ~1e-8; kitti_02: ~2e-6)
+    # — the solve would "converge" by that test with the eigenvalue off by
+    # 2-3x. ||A x - lambda x||_2 / lambda is the standard scale-invariant
+    # certificate: lambda's error is quadratic in it. (Plateau-based tests
+    # — "lambda stopped changing" — are unsafe: Rayleigh quotients are
+    # stationary and plateau mid-convergence.)
+    if rel_tol is None:
+        rel_tol_v = jnp.asarray(1e-3 if dtype == jnp.float32 else 1e-7, dtype)
+    else:
+        rel_tol_v = jnp.asarray(rel_tol, dtype)
+
+    def rel_residual(lam, X, AX):
+        r = AX[:, 0] - lam[0] * X[:, 0]
+        return jnp.linalg.norm(r) / jnp.maximum(lam[0], sigma)
+
     def cond(carry):
-        X, AX, lam, Xprev, it, res, best, since = carry
+        X, AX, lam, Xprev, it, res, best, since, rres = carry
+        # The legacy (reference-criterion) stop only counts when the
+        # relative residual is also sane: on tiny-lambda graphs
+        # ||r||_1/||L||_inf is below any tolerance from the first
+        # iteration while the eigenpair is still garbage.
+        legacy_done = jnp.logical_and(res <= eff_tol, rres < 0.25)
+        keep = jnp.logical_and(~legacy_done, rres > rel_tol_v)
         return jnp.logical_and(
-            jnp.logical_and(it < maxiter, res > eff_tol),
-            since < stall_patience,
+            jnp.logical_and(it < maxiter, keep), since < stall_patience
         )
 
     def body(carry):
-        X, AX, lam, Xprev, it, res, best, since = carry
+        X, AX, lam, Xprev, it, res, best, since, rres = carry
         # Inverse-iteration step: Y ~= A'^-1 X, warm-started at X / lam.
         inv_lam = 1.0 / jnp.maximum(lam, sigma)
         Y = pcg_fixed(apply_inner, X, Minv, iters=inner_iters, X0=X * inv_lam[None, :])
@@ -330,22 +367,22 @@ def tracemin_fiedler(
         # it must NOT fire during a merely-slow convergence phase far from
         # tolerance, which produces silently-unconverged (overestimated)
         # eigenvalues. Only count non-improving iterations near the floor.
-        # "Near the floor" must be tight: with a loose multiple the stall
-        # counter fires during slow-but-real convergence phases and returns
-        # silently unconverged eigenvalues (observed on kitti_05).
         near_floor = res_new < 4 * eff_tol
         improved = res_new < stall_factor * best
         best_new = jnp.minimum(best, res_new)
         since_new = jnp.where(
             jnp.logical_and(near_floor, ~improved), since + 1, 0
         )
-        return (X_new, AX_new, lam_new, X, it + 1, res_new, best_new, since_new)
+        rres_new = rel_residual(lam_new, X_new, AX_new)
+        return (X_new, AX_new, lam_new, X, it + 1, res_new, best_new,
+                since_new, rres_new)
 
     it0 = jnp.asarray(0, jnp.int32)
     res0 = residual(lam, X, AX)
+    rres0 = rel_residual(lam, X, AX)
     zero = jnp.asarray(0, jnp.int32)
-    X, AX, lam, Xprev, it, res, best, since = jax.lax.while_loop(
-        cond, body, (X, AX, lam, Xprev, it0, res0, res0, zero)
+    X, AX, lam, Xprev, it, res, best, since, rres = jax.lax.while_loop(
+        cond, body, (X, AX, lam, Xprev, it0, res0, res0, zero, rres0)
     )
     return FiedlerResult(lam=lam, X=X, iters=it, res=res)
 

@@ -53,7 +53,18 @@ def _affine_combine(a, b):
 
 def tridiag_ldl(d: jax.Array, e: jax.Array) -> TridiagFactor:
     """LDL^T pivots of the SPD tridiagonal matrix with diagonal d (n,) and
-    off-diagonal e (n-1,). O(log n) depth via a projective scan."""
+    off-diagonal e (n-1,). O(log n) depth via a projective scan.
+
+    The scan always runs in float64 and the factor is returned in the input
+    dtype: the projective (Moebius) composition spans a wide dynamic range,
+    and on TPU (flush-to-zero float32) it was observed to produce
+    non-finite pivots on real pose-graph weight scales where the identical
+    float32 computation on CPU stays finite. The factorization runs once
+    per weight vector — the float64 cost is negligible next to the solves.
+    """
+    out_dtype = d.dtype
+    d = d.astype(jnp.float64)
+    e = e.astype(jnp.float64)
     n = d.shape[0]
     e2 = jnp.concatenate([jnp.zeros((1,), d.dtype), e * e])  # e2[i] = e_{i-1}^2
     # x_i = d_i - e2_i / x_{i-1}  as  [[d_i, -e2_i], [1, 0]] acting projectively.
@@ -67,8 +78,15 @@ def tridiag_ldl(d: jax.Array, e: jax.Array) -> TridiagFactor:
     P = jax.lax.associative_scan(_mobius_combine, M, axis=0)
     # Applied to [1, 0]: x_i = P[i,0,0] / P[i,1,0].
     dp = P[:, 0, 0] / P[:, 1, 0]
+    # Pivot clamp: for a near-singular tridiagonal (a pure odometry chain's
+    # Laplacian regularized by a tiny shift) the float32 scan can round
+    # pivots to ~0 or below, which poisons the solve with inf/NaN. The
+    # factor is a preconditioner, so flooring pivots at a small positive
+    # multiple of the diagonal scale is safe and keeps it SPD.
+    floor = 8 * jnp.finfo(out_dtype).eps * jnp.max(d)
+    dp = jnp.maximum(dp, floor)
     l = jnp.concatenate([jnp.zeros((1,), d.dtype), e / dp[:-1]])
-    return TridiagFactor(dp=dp, l=l)
+    return TridiagFactor(dp=dp.astype(out_dtype), l=l.astype(out_dtype))
 
 
 def tridiag_solve_factored(f: TridiagFactor, B: jax.Array) -> jax.Array:
@@ -93,9 +111,11 @@ def tridiag_solve(d: jax.Array, e: jax.Array, B: jax.Array) -> jax.Array:
 def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
     """Backend-dispatched solve: the fused Pallas kernel on TPU (one kernel
     instead of ~30 scan stages — this sits in the eigensolver's innermost
-    loop), the associative-scan path elsewhere."""
-    if jax.default_backend() == "tpu":
+    loop), the associative-scan path elsewhere. float64 blocks (automatic
+    precision escalation) stay on the scan path: TPU XLA cannot rewrite
+    x64 types through a Pallas custom call."""
+    if jax.default_backend() == "tpu" and B.dtype == jnp.float32:
         from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
 
-        return tridiag_solve_fused(f.dp, f.l, B)
+        return tridiag_solve_fused(f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
     return tridiag_solve_factored(f, B)

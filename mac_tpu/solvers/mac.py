@@ -97,6 +97,10 @@ class MAC:
 
         if dtype is None:
             dtype = _fiedler.default_dtype()
+            if dtype == jnp.float32:
+                dtype = self._probe_compute_dtype(
+                    fixed_idx, w_fixed, cand_idx, w_cand, n
+                )
         self.dtype = dtype
         self.num_nodes = n
         self.fixed_idx = fixed_idx
@@ -146,6 +150,47 @@ class MAC:
         )
 
     # ------------------------------------------------------------------ core
+
+    # lambda_2 / ||L||_inf below ~100 eps_f32 cannot be resolved by a
+    # float32 eigensolve (the Fiedler signal drowns in apply rounding);
+    # measured failure cases: kitti_02 (3.8e-7), ais2klinik (1.1e-8).
+    _F32_SPECTRAL_RATIO_MIN = 1.2e-5
+
+    def _probe_compute_dtype(self, fixed_idx, w_fixed, cand_idx, w_cand, n):
+        """Pick float32 vs float64 from a cheap host-side (scipy, CPU)
+        spectral probe: lambda_2 at the mid-box point x = 1/2 relative to
+        the full-graph ||L||_inf. Automatic precision escalation — float64
+        on TPU is emulated and slower, so it is chosen only when float32
+        is numerically unable to resolve the Fiedler value."""
+        import scipy.sparse.linalg as spla
+
+        try:
+            idx = np.concatenate([fixed_idx, cand_idx], axis=0)
+            w_half = np.concatenate([w_fixed, 0.5 * np.asarray(w_cand)])
+            L = weight_graph_lap_from_edges(idx, w_half, n)
+            w_full = np.concatenate([w_fixed, np.asarray(w_cand)])
+            lnorm_full = 2.0 * float(
+                weight_graph_lap_from_edges(idx, w_full, n).diagonal().max()
+            )
+            if n <= 2:
+                return jnp.float32
+            lam2 = float(np.sort(spla.eigsh(
+                L, k=2, sigma=-1e-8 * max(lnorm_full, 1.0), which="LM",
+                return_eigenvectors=False, maxiter=5000,
+            ))[-1])
+            ratio = lam2 / max(lnorm_full, np.finfo(np.float64).tiny)
+            self.spectral_ratio = ratio
+            if ratio < self._F32_SPECTRAL_RATIO_MIN:
+                self.auto_dtype_reason = (
+                    f"lambda_2/||L||_inf ~ {ratio:.2e} is below float32 "
+                    "resolution; escalated to float64"
+                )
+                return jnp.float64
+            return jnp.float32
+        except Exception:
+            # Probe is best-effort (eigsh can fail on exotic inputs);
+            # default to the fast path.
+            return jnp.float32
 
     def _mask(self, x: jax.Array) -> jax.Array:
         return jnp.where(x > self.min_selection_weight_tol, x, 0.0)
@@ -216,16 +261,24 @@ class MAC:
         use_cache: bool,
         verbose: bool,
     ):
-        def problem(x, X):
-            f, grad, Xnew = self._problem_impl(x, X)
-            if not use_cache:
-                Xnew = X0  # reference parity: fresh deterministic block per iter
-            return f, grad, Xnew
+        # Auxiliary FW state: (eigenvector block, cumulative Fiedler
+        # iterations) — the counter is the observability hook the reference
+        # lacks (SURVEY.md §5: wall-clock spans only).
+        def problem(x, state):
+            X, fiters = state
+            res = self._fiedler(self._w_all(x), X)
+            v = res.X[:, 0]
+            ci = self.op.idx[self.fixed_idx.shape[0]:, 0]
+            cj = self.op.idx[self.fixed_idx.shape[0]:, 1]
+            d = v[ci] - v[cj]
+            grad = self._w_cand * d * d
+            Xnew = res.X if use_cache else X0
+            return res.lam[0], grad, (Xnew, fiters + res.iters)
 
         solve_lp = lambda g: constraints.solve_subset_box_lp(g, k)
-        x, u, X, it = frank_wolfe_with_state(
+        x, u, (X, fiters), it = frank_wolfe_with_state(
             x0,
-            X0,
+            (X0, jnp.asarray(0, jnp.int32)),
             problem,
             solve_lp,
             maxiter=maxiter,
@@ -233,7 +286,7 @@ class MAC:
             grad_norm_tol=grad_norm_tol,
             verbose=verbose,
         )
-        return x, u, X, it
+        return x, u, X, it, fiters
 
     # ------------------------------------------------------------ public API
 
@@ -303,7 +356,8 @@ class MAC:
         x_init = jnp.asarray(x_init, dtype=self.dtype)
         assert x_init.shape[0] == m
 
-        x, u, X, it = self._fw_jit(
+        solve_start = timer()
+        x, u, X, it, fiters = self._fw_jit(
             x_init,
             self._X0,
             k=k,
@@ -314,6 +368,14 @@ class MAC:
             verbose=bool(verbose),
         )
         x = jax.block_until_ready(x)
+        # Observability (reference has only verbose prints + wall clocks):
+        # Frank-Wolfe iterations used, cumulative inner eigensolver
+        # iterations, and the Frank-Wolfe wall time.
+        self.last_solve_stats = {
+            "fw_iterations": int(it),
+            "fiedler_iterations": int(fiters),
+            "fw_time_s": timer() - solve_start,
+        }
 
         start = timer()
         if rounding == "madow":

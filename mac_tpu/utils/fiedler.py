@@ -117,7 +117,9 @@ def fiedler_pair_op(
     c = lnorm
 
     def apply_shifted(V):
-        return apply_L(V) + c * jnp.mean(V, axis=0, keepdims=True)
+        from mac_tpu.ops.lobpcg import _shift_term
+
+        return apply_L(V) + _shift_term(V, c)
 
     if precond == "twogrid":
         Minv = _twogrid.make_twogrid_precond(op, w, apply_L)

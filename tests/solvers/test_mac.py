@@ -140,3 +140,13 @@ def test_chain_fixed_graph():
     result, unrounded, upper = mac.solve(k, max_iters=50)
     assert result.sum() == k
     assert mac.evaluate_objective(unrounded) <= upper + 1e-8
+
+
+def test_solve_stats_observability(petersen_split):
+    fixed, candidates, n = petersen_split
+    mac = MAC(fixed, candidates, n)
+    mac.solve(3, max_iters=50)
+    stats = mac.last_solve_stats
+    assert stats["fw_iterations"] >= 1
+    assert stats["fiedler_iterations"] >= 0
+    assert stats["fw_time_s"] > 0
