@@ -114,7 +114,14 @@ def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
     loop), the associative-scan path elsewhere. float64 blocks (automatic
     precision escalation) stay on the scan path: TPU XLA cannot rewrite
     x64 types through a Pallas custom call."""
-    if jax.default_backend() == "tpu" and B.dtype == jnp.float32:
+    # Narrow blocks only: the kernel holds the whole (q_pad, n_pad) block in
+    # VMEM, which is right for eigensolver blocks (q <= ~16) but OOMs for
+    # the wide multi-RHS chunks of GreedyESP's batched solves.
+    if (
+        jax.default_backend() == "tpu"
+        and B.dtype == jnp.float32
+        and B.shape[1] <= 32
+    ):
         from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
 
         return tridiag_solve_fused(f.dp.astype(B.dtype), f.l.astype(B.dtype), B)

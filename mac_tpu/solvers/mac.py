@@ -47,6 +47,44 @@ from mac_tpu.utils.rounding import (
 )
 
 
+# lambda_2 / ||L||_inf below ~100 eps_f32 cannot be resolved by a float32
+# eigensolve (the Fiedler signal drowns in apply rounding); measured
+# failure cases: kitti_02 (3.8e-7), ais2klinik (1.1e-8).
+F32_SPECTRAL_RATIO_MIN = 1.2e-5
+
+
+def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
+    """float32 vs float64 from a cheap host-side (scipy, CPU) spectral
+    probe: lambda_2 at the mid-box point x = 1/2 relative to the full-graph
+    ||L||_inf. Returns (dtype, ratio-or-None). Automatic precision
+    escalation: float64 on TPU is emulated and slower, so it is chosen only
+    when float32 is numerically unable to resolve the Fiedler value."""
+    import scipy.sparse.linalg as spla
+
+    try:
+        n = int(num_nodes)
+        if n <= 2:
+            return jnp.float32, None
+        idx = np.concatenate([fixed_idx, cand_idx], axis=0)
+        w_half = np.concatenate([w_fixed, 0.5 * np.asarray(w_cand)])
+        L = weight_graph_lap_from_edges(idx, w_half, n)
+        w_full = np.concatenate([w_fixed, np.asarray(w_cand)])
+        lnorm_full = 2.0 * float(
+            weight_graph_lap_from_edges(idx, w_full, n).diagonal().max()
+        )
+        lam2 = float(np.sort(spla.eigsh(
+            L, k=2, sigma=-1e-8 * max(lnorm_full, 1.0), which="LM",
+            return_eigenvectors=False, maxiter=5000,
+        ))[-1])
+        ratio = lam2 / max(lnorm_full, np.finfo(np.float64).tiny)
+        dtype = jnp.float64 if ratio < F32_SPECTRAL_RATIO_MIN else jnp.float32
+        return dtype, ratio
+    except Exception:
+        # Probe is best-effort (eigsh can fail on exotic inputs);
+        # default to the fast path.
+        return jnp.float32, None
+
+
 class MAC:
     """Algebraic-connectivity-maximizing edge selection.
 
@@ -82,6 +120,7 @@ class MAC:
         dtype=None,
         fiedler_maxiter: int = 200,
         fiedler_inner_iters: int = 16,
+        fiedler_rel_tol=None,
         mesh=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
@@ -98,9 +137,15 @@ class MAC:
         if dtype is None:
             dtype = _fiedler.default_dtype()
             if dtype == jnp.float32:
-                dtype = self._probe_compute_dtype(
+                dtype, ratio = choose_compute_dtype(
                     fixed_idx, w_fixed, cand_idx, w_cand, n
                 )
+                self.spectral_ratio = ratio
+                if dtype == jnp.float64:
+                    self.auto_dtype_reason = (
+                        f"lambda_2/||L||_inf ~ {ratio:.2e} is below float32 "
+                        "resolution; escalated to float64"
+                    )
         self.dtype = dtype
         self.num_nodes = n
         self.fixed_idx = fixed_idx
@@ -130,6 +175,10 @@ class MAC:
         self.fiedler_tol = float(fiedler_tol)
         self.fiedler_maxiter = int(fiedler_maxiter)
         self.fiedler_inner_iters = int(fiedler_inner_iters)
+        # Eigenvalue-relative residual tolerance (None = dtype default;
+        # see mac_tpu.ops.lobpcg.tracemin_fiedler) — the speed/quality dial
+        # for float32 runs.
+        self.fiedler_rel_tol = fiedler_rel_tol
         self.min_selection_weight_tol = float(min_selection_weight_tol)
 
         self._q = min(4, n - 1)
@@ -151,47 +200,6 @@ class MAC:
 
     # ------------------------------------------------------------------ core
 
-    # lambda_2 / ||L||_inf below ~100 eps_f32 cannot be resolved by a
-    # float32 eigensolve (the Fiedler signal drowns in apply rounding);
-    # measured failure cases: kitti_02 (3.8e-7), ais2klinik (1.1e-8).
-    _F32_SPECTRAL_RATIO_MIN = 1.2e-5
-
-    def _probe_compute_dtype(self, fixed_idx, w_fixed, cand_idx, w_cand, n):
-        """Pick float32 vs float64 from a cheap host-side (scipy, CPU)
-        spectral probe: lambda_2 at the mid-box point x = 1/2 relative to
-        the full-graph ||L||_inf. Automatic precision escalation — float64
-        on TPU is emulated and slower, so it is chosen only when float32
-        is numerically unable to resolve the Fiedler value."""
-        import scipy.sparse.linalg as spla
-
-        try:
-            idx = np.concatenate([fixed_idx, cand_idx], axis=0)
-            w_half = np.concatenate([w_fixed, 0.5 * np.asarray(w_cand)])
-            L = weight_graph_lap_from_edges(idx, w_half, n)
-            w_full = np.concatenate([w_fixed, np.asarray(w_cand)])
-            lnorm_full = 2.0 * float(
-                weight_graph_lap_from_edges(idx, w_full, n).diagonal().max()
-            )
-            if n <= 2:
-                return jnp.float32
-            lam2 = float(np.sort(spla.eigsh(
-                L, k=2, sigma=-1e-8 * max(lnorm_full, 1.0), which="LM",
-                return_eigenvectors=False, maxiter=5000,
-            ))[-1])
-            ratio = lam2 / max(lnorm_full, np.finfo(np.float64).tiny)
-            self.spectral_ratio = ratio
-            if ratio < self._F32_SPECTRAL_RATIO_MIN:
-                self.auto_dtype_reason = (
-                    f"lambda_2/||L||_inf ~ {ratio:.2e} is below float32 "
-                    "resolution; escalated to float64"
-                )
-                return jnp.float64
-            return jnp.float32
-        except Exception:
-            # Probe is best-effort (eigsh can fail on exotic inputs);
-            # default to the fast path.
-            return jnp.float32
-
     def _mask(self, x: jax.Array) -> jax.Array:
         return jnp.where(x > self.min_selection_weight_tol, x, 0.0)
 
@@ -206,6 +214,7 @@ class MAC:
             tol=self.fiedler_tol,
             maxiter=self.fiedler_maxiter,
             inner_iters=self.fiedler_inner_iters,
+            rel_tol=self.fiedler_rel_tol,
             chain_w=self._chain_w,
             method=self.fiedler_method,
             apply_override=None if self._sharded is None else self._sharded.apply,

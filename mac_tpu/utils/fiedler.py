@@ -78,6 +78,7 @@ def fiedler_pair_op(
     tol: float = 1e-8,
     maxiter: int = 200,
     inner_iters: int = 16,
+    rel_tol: Optional[float] = None,
     chain_w: Optional[jax.Array] = None,
     method: str = "tracemin",
     precond: str = "twogrid",
@@ -142,7 +143,8 @@ def fiedler_pair_op(
     # Default: TRACEMIN (block inverse iteration) — float32-stable; see
     # mac_tpu.ops.lobpcg.tracemin_fiedler.
     return tracemin_fiedler(
-        apply_L, X, lnorm, Minv, tol=tol, maxiter=maxiter, inner_iters=inner_iters
+        apply_L, X, lnorm, Minv, tol=tol, maxiter=maxiter,
+        inner_iters=inner_iters, rel_tol=rel_tol,
     )
 
 

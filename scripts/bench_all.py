@@ -33,7 +33,7 @@ def run(name):
     k = len(cands) // 2
     x_init = NaiveGreedy(cands).subset(k)
     mac = MAC(fixed, cands, n, fiedler_inner_iters=10, fiedler_maxiter=60,
-              fiedler_tol=3e-4)
+              fiedler_tol=6e-4)
     t0 = time.perf_counter()
     mac.solve(k, x_init, max_iters=20, use_cache=True)
     cold = time.perf_counter() - t0

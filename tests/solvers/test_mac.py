@@ -150,3 +150,32 @@ def test_solve_stats_observability(petersen_split):
     assert stats["fw_iterations"] >= 1
     assert stats["fiedler_iterations"] >= 0
     assert stats["fw_time_s"] > 0
+
+
+def test_precision_probe():
+    # Automatic float32/float64 selection by spectral dynamic range
+    # (module function; on the CPU backend MAC defaults to float64 anyway).
+    from mac_tpu.solvers.mac import choose_compute_dtype
+    import jax.numpy as jnp
+
+    # Long uniform-weight chain + one weak loop: lambda_2/||L|| far below
+    # float32 resolution (the kitti_02 failure mode).
+    n = 3000
+    fixed_idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    w_fixed = np.full(n - 1, 1e6)
+    cand_idx = np.array([[0, n // 2]], dtype=np.int32)
+    w_cand = np.array([1e6])
+    dt, ratio = choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, n)
+    assert dt == jnp.float64
+    assert ratio < 1.2e-5
+
+    # Well-conditioned small graph: float32 suffices.
+    import networkx as nx
+    from mac_tpu.utils.conversions import nx_to_mac
+    from mac_tpu.utils.graphs import edges_to_arrays
+
+    G = nx.complete_graph(12)
+    idx, w = edges_to_arrays(nx_to_mac(G))
+    dt, ratio = choose_compute_dtype(idx[:11], w[:11], idx[11:], w[11:], 12)
+    assert dt == jnp.float32
+    assert ratio > 1.2e-5
