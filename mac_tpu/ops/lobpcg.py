@@ -333,8 +333,12 @@ def tracemin_fiedler(
         # The legacy (reference-criterion) stop only counts when the
         # relative residual is also sane: on tiny-lambda graphs
         # ||r||_1/||L||_inf is below any tolerance from the first
-        # iteration while the eigenpair is still garbage.
-        legacy_done = jnp.logical_and(res <= eff_tol, rres < 0.25)
+        # iteration while the eigenpair is still garbage. Measured scales:
+        # a catastrophically-wrong f32 solve (kitti_02) sits at rres ~ 400,
+        # a healthy converged f32 solve (city10000) at ~0.3-0.5 in-loop
+        # (f32 measurement inflates the true 0.15 residual) — the 2.0 gate
+        # separates them with two orders of magnitude of margin.
+        legacy_done = jnp.logical_and(res <= eff_tol, rres < 2.0)
         keep = jnp.logical_and(~legacy_done, rres > rel_tol_v)
         return jnp.logical_and(
             jnp.logical_and(it < maxiter, keep), since < stall_patience
