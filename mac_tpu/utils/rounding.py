@@ -74,10 +74,13 @@ def round_madow_base_dynamic(w, k: jax.Array, key: jax.Array):
     return jnp.clip(x, 0.0, 1.0)
 
 
-def round_random(w, k: int, key: jax.Array):
+def round_random(w, k: int, key: Optional[jax.Array] = None):
     """Independent Bernoulli rounding: E[#selected] = |w|
-    (reference: rounding.py:44-61)."""
+    (reference: rounding.py:44-61; the reference draws from global numpy
+    state — here the PRNG key is explicit, defaulting deterministically)."""
     w = jnp.asarray(w)
+    if key is None:
+        key = jax.random.PRNGKey(0)
     r = jax.random.uniform(key, w.shape, dtype=w.dtype)
     return (w > r).astype(w.dtype)
 

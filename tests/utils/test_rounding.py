@@ -71,3 +71,23 @@ def test_round_random_expectation():
     keys = jax.random.split(jax.random.PRNGKey(2), 200)
     xs = np.asarray(jax.vmap(lambda kk: round_random(w, 15, kk))(keys))
     assert abs(xs.mean() - 0.3) < 0.03
+
+
+def test_dynamic_variants_match_static():
+    import jax.numpy as jnp
+    from mac_tpu.utils.rounding import round_madow_base_dynamic, round_nearest_dynamic
+
+    rng = np.random.RandomState(5)
+    w = rng.rand(30)
+    weights = rng.rand(30)
+    for k in [1, 7, 15]:
+        stat = np.asarray(round_nearest(w, k, weights=weights, break_ties_decimal_tol=10))
+        dyn = np.asarray(round_nearest_dynamic(w, jnp.asarray(k), weights=weights))
+        np.testing.assert_allclose(stat, dyn)
+
+        wk = w * (k / w.sum())
+        key = jax.random.PRNGKey(k)
+        stat_m = np.asarray(round_madow_base(wk, k, key))
+        dyn_m = np.asarray(round_madow_base_dynamic(wk, jnp.asarray(k), key))
+        np.testing.assert_allclose(stat_m, dyn_m)
+        assert dyn_m.sum() == k
