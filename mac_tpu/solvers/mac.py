@@ -190,42 +190,54 @@ class MAC:
         # observed to stall the float32 eigensolver (kitti_05) and return
         # overestimated objectives.
 
+        # Large arrays travel as arguments (see note above _mask).
+        self._params = (self.op, self._w_fixed, self._w_cand, self._chain_w)
         # Per-instance compiled entry points (parameterized by static args).
         self._eval_jit = jax.jit(self._eval_impl)
         self._eval_vec_jit = jax.jit(self._eval_vec_impl)
         self._eval_many_jit = jax.jit(self._eval_many_impl)
+        self._problem_jit = jax.jit(self._problem_impl)
         self._fw_jit = jax.jit(
             self._fw_impl, static_argnames=("k", "maxiter", "use_cache", "verbose")
         )
 
     # ------------------------------------------------------------------ core
 
+    # The jitted entry points take `params = (op, w_fixed, w_cand, chain_w)`
+    # as an explicit argument rather than closing over it: closure-captured
+    # arrays are baked into the HLO as literals, which (a) bloats the
+    # compile payload past the remote-compile request limit on large graphs
+    # (observed at n = 30k through the axon tunnel) and (b) defeats jit-
+    # cache reuse across solves.
+
     def _mask(self, x: jax.Array) -> jax.Array:
         return jnp.where(x > self.min_selection_weight_tol, x, 0.0)
 
-    def _w_all(self, x: jax.Array) -> jax.Array:
-        return jnp.concatenate([self._w_fixed, self._mask(x) * self._w_cand])
+    def _w_all(self, params, x: jax.Array) -> jax.Array:
+        op, w_fixed, w_cand, chain_w = params
+        return jnp.concatenate([w_fixed, self._mask(x) * w_cand])
 
-    def _fiedler(self, w_all: jax.Array, X: jax.Array):
+    def _fiedler(self, params, w_all: jax.Array, X: jax.Array):
+        op, w_fixed, w_cand, chain_w = params
         return _fiedler.fiedler_pair_op(
-            self.op,
+            op,
             w_all,
             X,
             tol=self.fiedler_tol,
             maxiter=self.fiedler_maxiter,
             inner_iters=self.fiedler_inner_iters,
             rel_tol=self.fiedler_rel_tol,
-            chain_w=self._chain_w,
+            chain_w=chain_w,
             method=self.fiedler_method,
             apply_override=None if self._sharded is None else self._sharded.apply,
         )
 
-    def _eval_impl(self, x: jax.Array, X0: jax.Array) -> jax.Array:
-        res = self._fiedler(self._w_all(x), X0)
+    def _eval_impl(self, params, x: jax.Array, X0: jax.Array) -> jax.Array:
+        res = self._fiedler(params, self._w_all(params, x), X0)
         return res.lam[0]
 
-    def _eval_vec_impl(self, x: jax.Array, X0: jax.Array):
-        res = self._fiedler(self._w_all(x), X0)
+    def _eval_vec_impl(self, params, x: jax.Array, X0: jax.Array):
+        res = self._fiedler(params, self._w_all(params, x), X0)
         return res.lam[0], res.X
 
     def _refine_lambda(self, x, v) -> float:
@@ -246,20 +258,23 @@ class MAC:
         d = v[idx[:, 0]] - v[idx[:, 1]]
         return float((w * d * d).sum() / (v * v).sum())
 
-    def _eval_many_impl(self, xs: jax.Array) -> jax.Array:
-        return jax.vmap(lambda x: self._eval_impl(x, self._X0))(xs)
+    def _eval_many_impl(self, params, xs: jax.Array, X0: jax.Array) -> jax.Array:
+        return jax.vmap(lambda x: self._eval_impl(params, x, X0))(xs)
 
-    def _problem_impl(self, x, X):
-        res = self._fiedler(self._w_all(x), X)
+    def _problem_impl(self, params, x, X):
+        op, w_fixed, w_cand, chain_w = params
+        res = self._fiedler(params, self._w_all(params, x), X)
         v = res.X[:, 0]
-        ci = self.op.idx[self.fixed_idx.shape[0]:, 0]
-        cj = self.op.idx[self.fixed_idx.shape[0]:, 1]
+        m_fixed = op.m - w_cand.shape[0]
+        ci = op.idx[m_fixed:, 0]
+        cj = op.idx[m_fixed:, 1]
         d = v[ci] - v[cj]
-        grad = self._w_cand * d * d
-        return res.lam[0], grad, res.X
+        grad = w_cand * d * d
+        return res.lam[0], grad, res.X, res.iters
 
     def _fw_impl(
         self,
+        params,
         x0,
         X0,
         *,
@@ -275,14 +290,9 @@ class MAC:
         # lacks (SURVEY.md §5: wall-clock spans only).
         def problem(x, state):
             X, fiters = state
-            res = self._fiedler(self._w_all(x), X)
-            v = res.X[:, 0]
-            ci = self.op.idx[self.fixed_idx.shape[0]:, 0]
-            cj = self.op.idx[self.fixed_idx.shape[0]:, 1]
-            d = v[ci] - v[cj]
-            grad = self._w_cand * d * d
-            Xnew = res.X if use_cache else X0
-            return res.lam[0], grad, (Xnew, fiters + res.iters)
+            f, grad, Xres, iters = self._problem_impl(params, x, X)
+            Xnew = Xres if use_cache else X0
+            return f, grad, (Xnew, fiters + iters)
 
         solve_lp = lambda g: constraints.solve_subset_box_lp(g, k)
         x, u, (X, fiters), it = frank_wolfe_with_state(
@@ -313,7 +323,7 @@ class MAC:
         compute mode the returned value is refined to float64 on the host
         via the exact edge-sum Rayleigh quotient."""
         x = jnp.asarray(x, dtype=self.dtype)
-        lam, X = self._eval_vec_jit(x, self._X0)
+        lam, X = self._eval_vec_jit(self._params, x, self._X0)
         if self.dtype == jnp.float64:
             return float(lam)
         return self._refine_lambda(np.asarray(x), np.asarray(X[:, 0]))
@@ -324,7 +334,7 @@ class MAC:
         one engages)."""
         x = jnp.asarray(x, dtype=self.dtype)
         X = self._X0 if cache is None or cache.Q is None else jnp.asarray(cache.Q, self.dtype)
-        f, grad, Xnew = jax.jit(self._problem_impl)(x, X)
+        f, grad, Xnew, _ = self._problem_jit(self._params, x, X)
         if cache is not None:
             cache.Q = Xnew
         return float(f), np.asarray(grad)
@@ -367,6 +377,7 @@ class MAC:
 
         solve_start = timer()
         x, u, X, it, fiters = self._fw_jit(
+            self._params,
             x_init,
             self._X0,
             k=k,
@@ -395,7 +406,7 @@ class MAC:
             else:
                 keys = jax.random.split(key, R)
                 xs = jax.vmap(lambda kk: round_madow_base(x, k, kk))(keys)
-                vals = self._eval_many_jit(xs)
+                vals = self._eval_many_jit(self._params, xs, self._X0)
                 rounded = xs[int(jnp.argmax(vals))]
         else:  # "nearest"
             rounded = round_nearest(x, k, weights=self._w_cand, break_ties_decimal_tol=10)
@@ -417,11 +428,13 @@ class MAC:
 
     # ------------------------------------------------------------ batch sweep
 
-    def _fw_dynamic_impl(self, x0, X0, k, *, maxiter, relative_duality_gap_tol,
-                         grad_norm_tol, rounding: str, seed_key):
+    def _fw_dynamic_impl(self, params, x0, X0, k, *, maxiter,
+                         relative_duality_gap_tol, grad_norm_tol,
+                         rounding: str, seed_key):
         """One dynamic-k solve (k traced): used under vmap by solve_sweep."""
         def problem(x, X):
-            return self._problem_impl(x, X)
+            f, grad, Xnew, _ = self._problem_impl(params, x, X)
+            return f, grad, Xnew
 
         solve_lp = lambda g: constraints.solve_subset_box_lp_dynamic(g, k)
         x, u, X, it = frank_wolfe_with_state(
@@ -486,7 +499,11 @@ class MAC:
             rounding=rounding,
         )
         batched = jax.jit(
-            jax.vmap(lambda x0, k, key: fn(x0, self._X0, jnp.asarray(k), seed_key=key))
+            jax.vmap(
+                lambda x0, k, key: fn(
+                    self._params, x0, self._X0, jnp.asarray(k), seed_key=key
+                )
+            )
         )
         rounded, unrounded, upper, iters = batched(
             x_init, jnp.asarray(ks), keys

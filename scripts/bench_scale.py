@@ -1,0 +1,95 @@
+"""Scalability benchmark: synthetic pose graphs beyond the bundled dataset
+sizes (chain + random loop closures), mac_tpu on TPU vs the reference
+implementation (scipy/NetworkX tracemin_lu) on CPU, identical inputs.
+
+Usage: python scripts/bench_scale.py [n ...]    (default: 30000 100000)
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+
+
+def synthetic(n, seed=0):
+    rng = np.random.RandomState(seed)
+    fixed_idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    w_fixed = 0.5 + rng.rand(n - 1)
+    m_loops = n // 2
+    lo = rng.randint(0, n - 3, 2 * m_loops)
+    span = rng.randint(2, n // 4, 2 * m_loops)
+    hi = lo + span
+    keep = hi <= n - 1  # reject (don't clamp: clamping concentrates degree)
+    cand_idx = np.stack([lo[keep], hi[keep]], 1)[:m_loops].astype(np.int32)
+    w_cand = 0.5 + rng.rand(len(cand_idx))
+    return fixed_idx, w_fixed, cand_idx, w_cand
+
+
+def run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters):
+    from mac_tpu.solvers import MAC
+
+    mac = MAC((fixed_idx, w_fixed), (cand_idx, w_cand), n,
+              fiedler_inner_iters=10, fiedler_maxiter=60, fiedler_tol=6e-4)
+    m = len(w_cand)
+    x_init = np.zeros(m)
+    x_init[np.argpartition(w_cand, -k)[-k:]] = 1.0
+    t0 = time.perf_counter()
+    mac.solve(k, x_init, max_iters=max_iters, use_cache=True)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rounded, unrounded, upper = mac.solve(k, x_init, max_iters=max_iters, use_cache=True)
+    warm = time.perf_counter() - t0
+    lam = mac.evaluate_objective(unrounded)
+    return dict(impl="mac_tpu", dtype=str(np.dtype(mac.dtype)), cold_s=round(cold, 2),
+                warm_s=round(warm, 3), lam2_unrounded=lam, upper=float(upper))
+
+
+def run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters):
+    from mac.solvers import MAC as RefMAC
+    from mac.utils.graphs import Edge
+
+    fixed = [Edge(int(i), int(j), float(w)) for (i, j), w in zip(fixed_idx, w_fixed)]
+    cands = [Edge(int(i), int(j), float(w)) for (i, j), w in zip(cand_idx, w_cand)]
+    mac = RefMAC(fixed, cands, n)
+    m = len(w_cand)
+    x_init = np.zeros(m)
+    x_init[np.argpartition(w_cand, -k)[-k:]] = 1.0
+    t0 = time.perf_counter()
+    rounded, unrounded, upper = mac.solve(k, x_init, max_iters=max_iters, use_cache=True)
+    solve_s = time.perf_counter() - t0
+    lam = mac.evaluate_objective(unrounded)
+    return dict(impl="reference", solve_s=round(solve_s, 3),
+                lam2_unrounded=float(lam), upper=float(upper))
+
+
+def main():
+    ns = [int(v) for v in sys.argv[1:]] or [30000, 100000]
+    max_iters = 10
+    out = []
+    for n in ns:
+        fixed_idx, w_fixed, cand_idx, w_cand = synthetic(n)
+        k = len(w_cand) // 4
+        print(f"=== n={n} m_cand={len(w_cand)} k={k} ===", flush=True)
+        ours = run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
+        print(json.dumps(dict(n=n, **ours)), flush=True)
+        ref = run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
+        print(json.dumps(dict(n=n, **ref)), flush=True)
+        speedup = ref["solve_s"] / ours["warm_s"]
+        qual = (ours["lam2_unrounded"] - ref["lam2_unrounded"]) / ref["lam2_unrounded"]
+        rec = dict(n=n, m_cand=len(w_cand), k=k, tpu_warm_s=ours["warm_s"],
+                   ref_s=ref["solve_s"], speedup=round(speedup, 2),
+                   quality_gap_rel=qual)
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+    (REPO / "scripts" / "bench_scale_results.json").write_text(json.dumps(out, indent=2))
+    print("wrote scripts/bench_scale_results.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
