@@ -99,8 +99,10 @@ class MAC:
     fiedler_tol: eigensolver residual tolerance.
     min_selection_weight_tol: selection weights below this are treated as
         exactly zero (mask, not prune — static shapes).
-    dtype: compute dtype; defaults to float64 under jax_enable_x64 else
-        float32.
+    dtype: compute dtype. Default: float64 on the CPU backend (parity
+        mode); on accelerators float32, automatically escalated to float64
+        when a host-side spectral probe finds lambda_2/||L||_inf below
+        float32 resolution (see choose_compute_dtype).
     fiedler_maxiter: outer-iteration cap for the eigensolver.
     """
 
