@@ -121,7 +121,7 @@ def main():
 
             keys = jax.random.split(key, args.madow_trials)
             xs = jax.vmap(lambda kk: round_madow_base(unrounded, k, kk))(keys)
-            vals = mac._eval_many_jit(jnp.asarray(xs))
+            vals = mac._eval_many_jit(mac._params, jnp.asarray(xs), mac._X0)
             madow = np.asarray(xs[int(np.argmax(np.asarray(vals)))])
         else:
             madow = np.asarray(round_madow_base(unrounded, k, key))

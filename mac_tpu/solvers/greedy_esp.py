@@ -94,9 +94,12 @@ class GreedyESP:
         self.chunk = int(chunk)
 
         if dtype is None:
-            from mac_tpu.utils.fiedler import default_dtype
-
-            dtype = default_dtype()
+            # float64 regardless of backend: the greedy selection consumes
+            # effective resistances at 1e-10 relative accuracy, unreachable
+            # in float32 (a f32 default silently burned cg_maxiter per chunk
+            # and carried f32-level error). The batched CG ops all exist in
+            # TPU f64 (emulated); the selection itself is host-sequential.
+            dtype = jnp.float64
         self.dtype = dtype
         self._op_fixed = build_operator(fixed_idx, self.num_nodes)
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
