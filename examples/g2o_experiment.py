@@ -71,7 +71,16 @@ def main():
     ap.add_argument("--madow-trials", type=int, default=1)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (must be set before any "
+                         "device op; the JAX_PLATFORMS env var is not "
+                         "reliable under external TPU plugins)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     t0 = time.perf_counter()
     measurements, n = read_g2o_file(args.dataset)
@@ -148,19 +157,54 @@ def main():
             print(f"k={rec['k']}: esp={rec['lam2_esp']:.6g} [{t:.2f}s cumulative]")
 
     if HAVE_SESYNC:
-        from mac_tpu.slam.metrics import poses_ate_tran, poses_rpe_rot
+        from mac_tpu.slam.metrics import (
+            poses_ate_tran,
+            poses_rpe_rot,
+            rotations_from_variable_matrix,
+        )
+        from mac_tpu.slam.sesync_eval import (
+            construct_LGrho,
+            construct_sesync_quadratic_form_matrix,
+            evaluate_sesync_objective,
+            evaluate_sesync_rotation_objective,
+            orbit_distance_dS,
+        )
 
+        # Full-measurement quality yardsticks (reference:
+        # g2o_experiment.py:470-472, 50-91, 93-180, 23-48). LGrho and M are
+        # built from the FULL measurement set: every sparsified solution is
+        # scored against the complete problem's objective.
+        LGrho_full = construct_LGrho(measurements)
+        M_full = construct_sesync_quadratic_form_matrix(measurements)
+        t0 = time.perf_counter()
         xhat_full = sesync_solve(measurements, n)
+        full_sesync_s = time.perf_counter() - t0
+        R_full = rotations_from_variable_matrix(xhat_full)
+        full_objective = evaluate_sesync_objective(M_full, xhat_full)
+        full_rot_cost = evaluate_sesync_rotation_objective(LGrho_full, R_full)
+        print(f"full SE-Sync: objective={full_objective:.6g} "
+              f"rot_cost={full_rot_cost:.6g} [{full_sesync_s:.2f}s]")
+
         for rec in records:
+            rec["full_objective"] = full_objective
+            rec["full_rot_cost"] = full_rot_cost
             for name in ("mac", "madow", "naive", "esp"):
                 sel_key = f"{name}_selection" if name != "mac" else "mac_selection"
                 if sel_key not in rec:
                     continue
                 mask = np.asarray(rec[sel_key])
                 sel_meas = meas_fixed + select_edges(meas_lc, mask)
+                t0 = time.perf_counter()
                 xhat = sesync_solve(sel_meas, n)
+                rec[f"sesync_s_{name}"] = time.perf_counter() - t0
                 rec[f"ate_{name}"] = poses_ate_tran(xhat, xhat_full)
                 rec[f"rpe_{name}"] = poses_rpe_rot(xhat, xhat_full)
+                # Score the sparsified solution on the FULL problem.
+                rec[f"objective_{name}"] = evaluate_sesync_objective(M_full, xhat)
+                Rm = rotations_from_variable_matrix(xhat)
+                rec[f"rot_cost_{name}"] = evaluate_sesync_rotation_objective(
+                    LGrho_full, Rm)
+                rec[f"orbdist_{name}"] = orbit_distance_dS(R_full, Rm)
     else:
         print("PySESync not installed: skipping downstream SLAM quality eval")
 
@@ -176,28 +220,106 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        # Plot families mirror the reference experiment driver
+        # (g2o_experiment.py:362-684): lambda2 + duality-gap band, solve
+        # time, and — when SE-Sync ran — SE-Sync time, ATE, RPE, full
+        # objective, rotation cost, SO(d) orbit distance, and trajectory
+        # renders per method at the median budget.
         pcts = [r["pct"] for r in records]
-        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
-        ax1.plot(pcts, [r["lam2_naive"] for r in records], "o-", label="Naive")
-        ax1.plot(pcts, [r["lam2_mac_nearest"] for r in records], "s-", label="MAC (nearest)")
-        ax1.plot(pcts, [r["lam2_mac_madow"] for r in records], "^-", label="MAC (madow)")
+        methods = [("naive", "Naive", "o-"), ("mac", "MAC (nearest)", "s-"),
+                   ("madow", "MAC (madow)", "^-")]
         if "lam2_esp" in records[0]:
-            ax1.plot(pcts, [r["lam2_esp"] for r in records], "d-", label="GreedyESP")
-        ax1.fill_between(pcts, [r["lam2_unrounded"] for r in records],
-                         [r["dual_upper"] for r in records], alpha=0.2,
-                         label="duality gap")
-        ax1.set_xlabel("fraction of loop closures kept")
-        ax1.set_ylabel(r"$\lambda_2(L)$")
-        ax1.legend()
-        ax2.semilogy(pcts, [r["mac_nearest_s"] for r in records], "s-", label="MAC")
+            methods.append(("esp", "GreedyESP", "d-"))
+
+        def series(fmt):
+            out = []
+            for name, label, style in methods:
+                key = fmt.format(name)
+                if key in records[0]:
+                    out.append((label, style, [r[key] for r in records]))
+            return out
+
+        have_q = "ate_mac" in records[0]
+        nrow = 3 if have_q else 1
+        fig, axes = plt.subplots(nrow, 3, figsize=(16, 4.5 * nrow),
+                                 squeeze=False)
+
+        lam_keys = {"naive": "lam2_naive", "mac": "lam2_mac_nearest",
+                    "madow": "lam2_mac_madow", "esp": "lam2_esp"}
+        ax = axes[0][0]
+        for name, label, style in methods:
+            ax.plot(pcts, [r[lam_keys[name]] for r in records], style, label=label)
+        ax.fill_between(pcts, [r["lam2_unrounded"] for r in records],
+                        [r["dual_upper"] for r in records], alpha=0.2,
+                        label="duality gap")
+        ax.set_xlabel("fraction of loop closures kept")
+        ax.set_ylabel(r"$\lambda_2(L)$")
+        ax.legend()
+
+        ax = axes[0][1]
+        ax.semilogy(pcts, [r["mac_nearest_s"] for r in records], "s-", label="MAC")
         if "esp_s" in records[0]:
-            ax2.semilogy(pcts, [r["esp_s"] for r in records], "d-", label="GreedyESP (cum.)")
-        ax2.set_xlabel("fraction of loop closures kept")
-        ax2.set_ylabel("solve time (s)")
-        ax2.legend()
+            ax.semilogy(pcts, [r["esp_s"] for r in records], "d-",
+                        label="GreedyESP (cum.)")
+        ax.set_xlabel("fraction of loop closures kept")
+        ax.set_ylabel("solve time (s)")
+        ax.legend()
+
+        ax = axes[0][2]
+        gap = [max(r["dual_upper"] - r["lam2_unrounded"], 0.0) /
+               max(abs(r["dual_upper"]), 1e-300) for r in records]
+        ax.semilogy(pcts, gap, "s-")
+        ax.set_xlabel("fraction of loop closures kept")
+        ax.set_ylabel("relative duality gap")
+
+        if have_q:
+            panels = [
+                ("ate_{}", "ATE (translation)", axes[1][0], False),
+                ("rpe_{}", "RPE (rotation, deg)", axes[1][1], False),
+                ("sesync_s_{}", "SE-Sync solve time (s)", axes[1][2], True),
+                ("objective_{}", "SE-Sync objective (full problem)",
+                 axes[2][0], False),
+                ("rot_cost_{}", "rotation cost (full LGrho)", axes[2][1], False),
+                ("orbdist_{}", r"SO(d) orbit distance", axes[2][2], False),
+            ]
+            for fmt, ylabel, ax, logy in panels:
+                for label, style, ys in series(fmt):
+                    (ax.semilogy if logy else ax.plot)(pcts, ys, style, label=label)
+                if fmt.startswith("objective") and "full_objective" in records[0]:
+                    ax.axhline(records[0]["full_objective"], color="k", ls="--",
+                               lw=1, label="full solution")
+                if fmt.startswith("rot_cost") and "full_rot_cost" in records[0]:
+                    ax.axhline(records[0]["full_rot_cost"], color="k", ls="--",
+                               lw=1, label="full solution")
+                ax.set_xlabel("fraction of loop closures kept")
+                ax.set_ylabel(ylabel)
+                ax.legend(fontsize=8)
+
         stem = Path(args.dataset).stem
         fig.savefig(f"{stem}_experiment.png", dpi=120, bbox_inches="tight")
+        plt.close(fig)
         print(f"wrote {stem}_experiment.png")
+
+        if have_q:
+            # Trajectory renders at the median budget (reference
+            # g2o_experiment.py:525-598), full vs per-method estimates.
+            from mac_tpu.slam.pose_graph import plot_poses
+
+            rec = records[len(records) // 2]
+            fig2, axes2 = plt.subplots(1, len(methods) + 1,
+                                       figsize=(4.5 * (len(methods) + 1), 4))
+            plot_poses(xhat_full, measurements, show=False, ax=axes2[0])
+            axes2[0].set_title("full")
+            for axp, (name, label, _) in zip(axes2[1:], methods):
+                sel_key = f"{name}_selection" if name != "mac" else "mac_selection"
+                mask = np.asarray(rec[sel_key])
+                sel_meas = meas_fixed + select_edges(meas_lc, mask)
+                xhat = sesync_solve(sel_meas, n)
+                plot_poses(xhat, sel_meas, show=False, ax=axp)
+                axp.set_title(f"{label} ({rec['pct']:.0%})")
+            fig2.savefig(f"{stem}_trajectories.png", dpi=120, bbox_inches="tight")
+            plt.close(fig2)
+            print(f"wrote {stem}_trajectories.png")
 
 
 if __name__ == "__main__":

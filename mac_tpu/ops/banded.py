@@ -1,0 +1,390 @@
+"""Block-banded MXU formulation of the graph Laplacian (RCM-ordered).
+
+Motivation (round-2 profiling, BASELINE.md): the ELL gather apply costs
+~270 us of device time per (n=1e4, q=4) product on TPU — dominated by the
+layout padding of the (n, dmax, q) gather, not bandwidth or FLOPs. Pose
+graphs are spatially local, so a reverse-Cuthill-McKee relabeling gives a
+small matrix bandwidth (city10000: 182). Within 128-aligned node blocks the
+Laplacian is then **block-banded with a handful of 128x128 dense block
+diagonals** — which turns L(w) @ V into a few batched MXU matmuls with zero
+gathers in the hot loop (measured ~63 us, q-independent).
+
+Float32 stability: a plain dense matmul of a Laplacian catastrophically
+cancels on smooth eigenvectors (rows sum to zero; see
+mac_tpu.ops.laplacian._ell_apply). Here each block-row output is computed
+against **locally centered** inputs,
+
+    out_b = sum_o  BD[o, b] @ (V_{b+o-half} - c_b),
+
+with c_b the mean of V over block b's block-diagonal neighborhood. This is
+exact in exact arithmetic for any c_b (every entry of a band row lies
+inside the window, and Laplacian rows sum to zero), and in float32 it
+scales the rounding to the *local variation* |V - c_b| — the same
+backward-stability the ELL difference form achieves (verified ~6e-7
+against an f64 oracle, identical to ELL f32).
+
+Assembly avoids device scatters (measured ~0.33 us per scattered element —
+a 27 ms disaster per weight update): a static slot -> edge-id gather table
+maps the off-diagonal band slots to edge ids (sentinel m elsewhere), so
+
+    BD_offdiag = -w_pad[slot_tbl]        (one big gather)
+    diag       = -(row sums)             (one reduction)
+
+runs in a few hundred microseconds per Frank-Wolfe weight update.
+
+The companion preconditioner is a symmetric two-level cycle:
+block-Jacobi smoothing (exact 128x128 diagonal-block solves — these blocks
+contain *all* intra-block edges, a strictly stronger smoother than the
+RCM band-1 tridiagonal part) plus a dense coarse-grid correction over
+contiguous aggregates (restriction = reshape-sum, prolongation = repeat,
+coarse operator assembled scatter-free as R^T (L R) via one banded apply).
+
+Reference role: this replaces the sparse-direct inner solves of the
+reference's TRACEMIN (mac/utils/cholesky.py:220-238, SuperLU at
+mac/utils/fiedler.py:42) with an MXU-native operator + preconditioner pair.
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BS = 128  # MXU-aligned node-block size
+
+# Enable the banded path only when the RCM bandwidth keeps the block-band
+# narrow: ndiag = 2*ceil-ish(bw/128)+1 block diagonals cost
+# ndiag * n_pad * 128 * 4 bytes each for BD and the slot table.
+MAX_BANDWIDTH = 640
+# Target coarse-grid size for the two-level preconditioner (matches the
+# round-1 two-grid default; see mac_tpu.ops.twogrid).
+COARSE_NC = 512
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandedOperator:
+    """Static (per-topology) tables for block-banded L(w) products.
+
+    slot_tbl: (ndiag, nb, BS, BS) int32 — edge id whose -w occupies the
+        slot, or the sentinel m (weight 0). Built host-side; requires no
+        duplicate (i, j) pairs (the builder returns None otherwise).
+    R: (n_pad, nc) float — 0/1 aggregate indicator matrix, used only to
+        assemble the coarse operator Lc = R^T (L R) via one banded apply.
+    perm / iperm: (n,) int32 RCM permutation: perm[k] = original id of
+        RCM node k; iperm[orig] = RCM id. Identity when the caller built
+        from already-relabeled indices.
+    chain_eid: (n-1,) int32 — edge id connecting original-order nodes
+        (k, k+1), sentinel m if absent. Lets the preconditioner smooth
+        with the exact odometry-chain tridiagonal solve in the original
+        ordering (the strong smoother; RCM's own band-1 is weak because
+        the chain scatters across RCM offsets).
+    n, nb, ndiag, coarse_s, coarse_nc: static metadata.
+    """
+
+    slot_tbl: jax.Array
+    R: jax.Array
+    perm: jax.Array
+    iperm: jax.Array
+    chain_eid: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    nb: int = dataclasses.field(metadata=dict(static=True))
+    ndiag: int = dataclasses.field(metadata=dict(static=True))
+    coarse_s: int = dataclasses.field(metadata=dict(static=True))
+    coarse_nc: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def half(self) -> int:
+        return self.ndiag // 2
+
+    @property
+    def n_pad(self) -> int:
+        return self.nb * BS
+
+
+def rcm_order(idx: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Reverse-Cuthill-McKee node permutation for an edge list.
+
+    Returns (perm, inv, bandwidth): perm[k] = original id of new node k,
+    inv[orig] = new id, bandwidth = max |i' - j'| over relabeled edges.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    idx = np.asarray(idx).reshape(-1, 2)
+    m = idx.shape[0]
+    A = sp.coo_matrix(
+        (np.ones(m), (idx[:, 0], idx[:, 1])), shape=(n, n)
+    )
+    perm = np.asarray(reverse_cuthill_mckee(sp.csr_matrix(A + A.T),
+                                            symmetric_mode=True))
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    r = inv[idx]
+    bw = int(np.abs(r[:, 0] - r[:, 1]).max(initial=0))
+    return perm, inv, bw
+
+
+def build_banded_rcm(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
+                     target_nc: int = COARSE_NC):
+    """RCM-relabel an edge list and build the banded tables.
+
+    Returns (bop, relabeled_idx) or (None, None) when the graph admits no
+    narrow band. The permutation and the original-order chain table are
+    recorded on the operator so the preconditioner can smooth in the
+    original (odometry-chain) ordering.
+    """
+    idx = np.asarray(idx, dtype=np.int64).reshape(-1, 2)
+    n = int(num_nodes)
+    if idx.shape[0] == 0 or n < 4 * BS:
+        return None, None
+    perm, inv, bw = rcm_order(idx, n)
+    if bw == 0 or bw > MAX_BANDWIDTH:
+        return None, None
+    ridx = inv[idx]
+    bop = build_banded(ridx, n, dtype=dtype, target_nc=target_nc,
+                       perm=perm, iperm=inv, orig_idx=idx)
+    return bop, (None if bop is None else ridx.astype(np.int32))
+
+
+def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
+                 target_nc: int = COARSE_NC, perm=None, iperm=None,
+                 orig_idx=None) -> Optional[BandedOperator]:
+    """Build the block-banded tables for an (already relabeled) edge list.
+
+    Host-side. Returns None when the formulation does not apply: bandwidth
+    above MAX_BANDWIDTH (no narrow band exists — e.g. expander-like random
+    loop closures) or duplicate (i, j) edges (the gather table can hold one
+    edge per slot; all bundled datasets are duplicate-free).
+
+    perm/iperm/orig_idx: see build_banded_rcm — identity when omitted.
+    """
+    idx = np.asarray(idx, dtype=np.int64).reshape(-1, 2)
+    n = int(num_nodes)
+    m = idx.shape[0]
+    if m == 0 or n < 4 * BS:
+        return None
+    lo = idx.min(axis=1)
+    hi = idx.max(axis=1)
+    bw = int((hi - lo).max(initial=0))
+    if bw == 0 or bw > MAX_BANDWIDTH:
+        return None
+    # Max block-diagonal offset: (i % BS + bw) // BS <= (BS - 1 + bw) // BS.
+    half = (BS - 1 + bw) // BS
+    ndiag = 2 * half + 1
+    nb = -(-n // BS)
+    n_pad = nb * BS
+
+    tbl = np.full((ndiag, nb, BS, BS), m, dtype=np.int32)
+    bi, bj = lo // BS, hi // BS
+    ri, rj = lo % BS, hi % BS
+    # Upper (lo, hi) and symmetric lower (hi, lo) slots.
+    o_up = (bj - bi + half).astype(np.int64)
+    o_dn = (bi - bj + half).astype(np.int64)
+    up = ((o_up * nb + bi) * BS + ri) * BS + rj
+    dn = ((o_dn * nb + bj) * BS + rj) * BS + ri
+    flat = tbl.reshape(-1)
+    if np.unique(up).size != m:
+        return None  # duplicate (i, j) pairs
+    e = np.arange(m, dtype=np.int32)
+    flat[up] = e
+    flat[dn] = e
+
+    if perm is None:
+        perm = np.arange(n, dtype=np.int64)
+        iperm = perm
+    if orig_idx is None:
+        orig_idx = idx
+
+    # Coarse aggregates: s consecutive ORIGINAL-order nodes per aggregate
+    # (trajectory-contiguous — measured 9 vs 16 outer iterations against
+    # RCM-contiguous aggregates on city10000; the original ordering is the
+    # physically meaningful locality). R rows live in RCM order so the
+    # coarse operator assembles as one banded apply: Lc = R^T (L R).
+    # Sized by the REAL node count n: aggregates made purely of padding
+    # would be zero rows of Lc, which the rank-one constant shift turns
+    # into identical rows — a singular coarse matrix.
+    s = max(1, -(-n // target_nc))
+    nc = -(-n // s)
+    R = np.zeros((n_pad, nc), dtype=np.float32)
+    rows = np.arange(n)
+    R[rows, np.asarray(perm)[rows] // s] = 1.0
+    orig_idx = np.asarray(orig_idx, dtype=np.int64).reshape(-1, 2)
+    olo = orig_idx.min(axis=1)
+    ohi = orig_idx.max(axis=1)
+    chain_eid = np.full(max(n - 1, 1), m, dtype=np.int32)
+    is_chain = (ohi - olo) == 1
+    chain_eid[olo[is_chain]] = np.arange(m, dtype=np.int32)[is_chain]
+
+    return BandedOperator(
+        slot_tbl=jnp.asarray(tbl),
+        R=jnp.asarray(R, dtype=dtype),
+        perm=jnp.asarray(perm, dtype=jnp.int32),
+        iperm=jnp.asarray(iperm, dtype=jnp.int32),
+        chain_eid=jnp.asarray(chain_eid),
+        n=n,
+        nb=nb,
+        ndiag=ndiag,
+        coarse_s=s,
+        coarse_nc=nc,
+    )
+
+
+def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
+    """BD(w): (ndiag, nb, BS, BS) block diagonals of L(w). One gather + one
+    reduction — no device scatter (see module docstring)."""
+    dtype = w.dtype
+    w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
+    BD = w_pad[bop.slot_tbl]
+    # Diagonal = weighted degree = -(off-diagonal row sums). Row i's entries
+    # all live in BD[:, bi, ri, :].
+    deg = -jnp.sum(BD, axis=(0, 3))  # (nb, BS)
+    eye = jnp.eye(BS, dtype=dtype)
+    BD = BD.at[bop.half].add(deg[:, :, None] * eye[None, :, :])
+    return BD
+
+
+def banded_apply(bop: BandedOperator, BD: jax.Array, V: jax.Array,
+                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """L(w) @ V for V of shape (n, q) (returns (n, q)).
+
+    precision=HIGHEST reproduces exact f32 semantics (3-pass MXU); pass
+    DEFAULT (single bf16 pass) for preconditioner-internal residuals where
+    ~1e-3 operator error is harmless and ~3x cheaper.
+    """
+    n, q = V.shape
+    nb, half, ndiag = bop.nb, bop.half, bop.ndiag
+    n_pad = bop.n_pad
+    if n_pad != n:
+        V = jnp.concatenate(
+            [V, jnp.zeros((n_pad - n, q), V.dtype)], axis=0)
+    Vb = V.reshape(nb, BS, q)
+    Vp = jnp.pad(Vb, ((half, half), (0, 0), (0, 0)))
+    # Local centering constant per block row (exactness holds for any c_b —
+    # Laplacian rows sum to zero within the window; see module docstring).
+    win = jnp.stack([Vp[o:o + nb] for o in range(ndiag)], 0)
+    cb = jnp.mean(win, axis=(0, 2))[:, None, :]
+    out = jnp.zeros_like(Vb)
+    for o in range(ndiag):
+        out = out + jnp.einsum(
+            "brc,bcq->brq", BD[o], Vp[o:o + nb] - cb,
+            preferred_element_type=V.dtype, precision=precision)
+    return out.reshape(n_pad, q)[:n]
+
+
+def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
+                        smoother: str = "chain"):
+    """Two-level symmetric preconditioner for L(w) restricted to 1^perp.
+
+    Smoothers:
+      * 'chain' (default; requires `w`): exact tridiagonal solve of the
+        odometry-chain part **in the original node ordering** — the chain
+        scatters across RCM offsets, so this is implemented as
+        permute -> fused tridiag solve -> permute back. This is the
+        round-1-proven strong smoother (global information propagates the
+        whole chain in one solve); block-Jacobi alone was measured to leave
+        the eigensolver unconverged at maxiter on city10000.
+      * 'bjacobi': exact solves of the 128x128 RCM diagonal blocks
+        (batched MXU matmuls, no permutes) — cheaper per application,
+        weaker: all inter-block coupling is left to the coarse grid.
+
+    Coarse level: dense (nc, nc) inverse over RCM-contiguous aggregates,
+    assembled scatter-free as R^T (L R).
+
+    Rebuild per weight vector; returns a pure (n, q) -> (n, q) function.
+    """
+    dtype = BD.dtype
+    nb, half, s, nc = bop.nb, bop.half, bop.coarse_s, bop.coarse_nc
+    n, n_pad = bop.n, bop.n_pad
+    eps = jnp.finfo(dtype).eps
+
+    if smoother == "chain":
+        assert w is not None, "'chain' smoother needs the weight vector"
+        from mac_tpu.ops.tridiag import tridiag_ldl_auto, tridiag_solve_factored_fast
+
+        # Tridiagonal part of L(w) in ORIGINAL ordering: diagonal = weighted
+        # degrees (gathered through the permutation), off-diagonal = chain
+        # edge weights (gather via the static chain_eid table — scatters are
+        # ~0.33us/element on this stack, gathers are cheap).
+        deg_rcm = jnp.einsum("bii->bi", BD[half]).reshape(n_pad)[:n]
+        d_nat = deg_rcm[bop.iperm]
+        w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+        e_nat = -w_pad[bop.chain_eid][: max(n - 1, 1)].astype(dtype)
+        fac = tridiag_ldl_auto(d_nat + 100 * eps * jnp.max(d_nat), e_nat)
+
+        def smooth(B):  # B in RCM order, (n, q)
+            Xn = tridiag_solve_factored_fast(fac, B[bop.iperm])
+            return Xn[bop.perm]
+    else:
+        # --- block-Jacobi: batched Cholesky inverses of the diagonal blocks.
+        Dblk = BD[half]
+        reg = 100 * eps * jnp.max(jnp.abs(Dblk))
+        Dreg = Dblk + reg * jnp.eye(BS, dtype=dtype)[None]
+        Rchol = jax.vmap(lambda A: jnp.linalg.cholesky(A, upper=True))(Dreg)
+        eyeB = jnp.broadcast_to(jnp.eye(BS, dtype=dtype), (nb, BS, BS))
+        Rinv = jax.vmap(
+            lambda Rm, I: jax.scipy.linalg.solve_triangular(Rm, I, lower=False)
+        )(Rchol, eyeB)
+        Dinv = jnp.einsum("bij,bkj->bik", Rinv, Rinv,
+                          preferred_element_type=dtype)  # (nb, BS, BS)
+
+    # --- coarse operator Lc = R^T (L R): one banded apply on nc columns.
+    LR = banded_apply(bop, BD, bop.R[:n].astype(dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+    # Restrict rows through the permutation: aggregates live in the
+    # original ordering (R's columns), rows of LR in RCM order.
+    LRn = LR[bop.iperm]
+    LRp = jnp.concatenate(
+        [LRn, jnp.zeros((nc * s - n, nc), dtype)], axis=0)
+    Lc = LRp.reshape(nc, s, nc).sum(axis=1)
+    Lc = (Lc + Lc.T) / 2
+    # Rank-one constant-mode shift makes Lc SPD (same trick as the
+    # eigensolver); the inverse is a *preconditioner* component, f32 is fine.
+    cshift = 2.0 * jnp.max(jnp.diag(Lc)) + 1.0
+    jit_c = 100 * eps * (jnp.trace(Lc) / nc + 1.0)
+    Lc_reg = (Lc + (cshift / nc) * jnp.ones((nc, nc), dtype)
+              + jit_c * jnp.eye(nc, dtype=dtype))
+    Rc = jnp.linalg.cholesky(Lc_reg, upper=True)
+    Rc_inv = jax.scipy.linalg.solve_triangular(
+        Rc, jnp.eye(nc, dtype=dtype), lower=False)
+    Lc_inv = Rc_inv @ Rc_inv.T
+
+    # bf16-pass operator copy for preconditioner-internal residuals.
+    def apply_fast(V):
+        return banded_apply(bop, BD, V, precision=jax.lax.Precision.DEFAULT)
+
+    def center(B):
+        return B - jnp.mean(B, axis=0, keepdims=True)
+
+    def pad(B):
+        return jnp.concatenate(
+            [B, jnp.zeros((n_pad - n, B.shape[1]), B.dtype)], axis=0)
+
+    if smoother != "chain":
+        def smooth(B):  # noqa: F811 — block-Jacobi variant
+            Bb = pad(B).reshape(nb, BS, -1)
+            X = jnp.einsum("brc,bcq->brq", Dinv, Bb,
+                           preferred_element_type=dtype)
+            return X.reshape(n_pad, -1)[:n]
+
+    def restrict(Rv):  # (n, q) RCM -> (nc, q), original-order aggregates
+        Rn = Rv[bop.iperm]
+        Rp = jnp.concatenate(
+            [Rn, jnp.zeros((nc * s - n, Rv.shape[1]), Rv.dtype)], axis=0)
+        return Rp.reshape(nc, s, -1).sum(axis=1)
+
+    def prolong(Xc):  # (nc, q) -> (n, q) RCM
+        return jnp.repeat(Xc, s, axis=0)[:n][bop.perm]
+
+    def precond(B: jax.Array) -> jax.Array:
+        B = center(B)
+        x = smooth(B)
+        r = B - apply_fast(x)
+        xc = jnp.dot(Lc_inv, restrict(r), preferred_element_type=dtype)
+        x = x + prolong(xc)
+        r2 = B - apply_fast(x)
+        x = x + smooth(r2)
+        return center(x)
+
+    return precond

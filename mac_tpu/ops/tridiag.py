@@ -89,6 +89,64 @@ def tridiag_ldl(d: jax.Array, e: jax.Array) -> TridiagFactor:
     return TridiagFactor(dp=dp.astype(out_dtype), l=l.astype(out_dtype))
 
 
+def tridiag_ldl_blocked(d: jax.Array, e: jax.Array,
+                        block: int = 1024) -> TridiagFactor:
+    """Blocked LDL^T: factor `block`-sized chain segments independently
+    (couplings across segment boundaries dropped — the factor is a
+    *preconditioner*, and a two-grid coarse level owns the global modes).
+
+    Why this exists: `tridiag_ldl`'s associative scan unrolls log2(n)
+    stages of large slices, which stalls the remote XLA compile beyond
+    n ~ 3e4 (BASELINE.md round-1). Here the recurrence runs as ONE rolled
+    `lax.scan` of length `block`, vectorized across the n/block segments —
+    compile size is independent of n. Runs in float64 like tridiag_ldl
+    (same flush-to-zero rationale; the scan state is tiny).
+    """
+    out_dtype = d.dtype
+    n = d.shape[0]
+    nb = -(-n // block)
+    n_pad = nb * block
+    d64 = jnp.concatenate(
+        [d, jnp.ones((n_pad - n,), d.dtype)]).astype(jnp.float64)
+    # e2[i] couples i to i-1; zero at segment starts (and padding).
+    e2 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float64),
+         (e * e).astype(jnp.float64),
+         jnp.zeros((n_pad - n,), jnp.float64)])
+    pos = jnp.arange(n_pad) % block
+    e2 = jnp.where(pos == 0, 0.0, e2)
+    dB = d64.reshape(nb, block)
+    eB = e2.reshape(nb, block)
+
+    def step(prev_dp, de):
+        di, e2i = de
+        dp = di - e2i / prev_dp
+        return dp, dp
+
+    _, dpB = jax.lax.scan(
+        step, jnp.ones((nb,), jnp.float64), (dB.T, eB.T))
+    dp = dpB.T.reshape(n_pad)[:n]
+    floor = 8 * jnp.finfo(out_dtype).eps * jnp.max(d.astype(jnp.float64))
+    dp = jnp.maximum(dp, floor)
+    e_eff = jnp.where((jnp.arange(1, n) % block) == 0, 0.0,
+                      e.astype(jnp.float64)) if n > 1 else e.astype(jnp.float64)
+    l = jnp.concatenate([jnp.zeros((1,), jnp.float64), e_eff / dp[:-1]])
+    return TridiagFactor(dp=dp.astype(out_dtype), l=l.astype(out_dtype))
+
+
+# Beyond this size the associative-scan factorization's unrolled stages
+# stall the (remote) XLA compile; use the blocked variant.
+TRIDIAG_SCAN_MAX_N = 32768
+
+
+def tridiag_ldl_auto(d: jax.Array, e: jax.Array) -> TridiagFactor:
+    """tridiag_ldl for sizes the scan compiles comfortably; the blocked
+    segment factorization beyond (preconditioner-grade)."""
+    if d.shape[0] <= TRIDIAG_SCAN_MAX_N:
+        return tridiag_ldl(d, e)
+    return tridiag_ldl_blocked(d, e)
+
+
 def tridiag_solve_factored(f: TridiagFactor, B: jax.Array) -> jax.Array:
     """Solve T X = B given the LDL^T factor; B is (n, q)."""
     l = f.l[:, None]

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mac_tpu.ops.laplacian import GraphOperator, lap_tridiagonal_part
-from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored_fast
+from mac_tpu.ops.tridiag import tridiag_ldl_auto, tridiag_solve_factored_fast
 
 
 def make_twogrid_precond(
@@ -53,7 +53,7 @@ def make_twogrid_precond(
 
     # Smoother: exact solve of the tridiagonal part (diag + chain band).
     d, e = lap_tridiagonal_part(op, w)
-    fac = tridiag_ldl(d + 100 * eps * jnp.max(d), e)
+    fac = tridiag_ldl_auto(d + 100 * eps * jnp.max(d), e)
 
     # Coarse operator: Lc = sum_e w_e (p_i - p_j)(p_i - p_j)^T over coarse
     # endpoints; edges interior to an aggregate vanish (p_i == p_j).

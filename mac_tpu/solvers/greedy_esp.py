@@ -46,7 +46,7 @@ from mac_tpu.ops.laplacian import (
     lap_apply_reduced,
     lap_tridiagonal_part,
 )
-from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored_fast
+from mac_tpu.ops.tridiag import tridiag_ldl_auto, tridiag_solve_factored_fast
 from mac_tpu.utils.graphs import Edge, edges_to_arrays
 
 
@@ -56,6 +56,17 @@ def compute_weighted_effective_resistances(
     """w_e * ||x_e||^2 for solve vectors stored in rows (parity helper;
     reference: greedy_esp.py:43-64)."""
     return (np.linalg.norm(xuv_arr, axis=1) ** 2) * xuv_edge_weights
+
+
+def find_idx_with_max_weighted_effective_resistance(
+    xuv_arr: np.ndarray, xuv_edge_weights: np.ndarray
+) -> int:
+    """Row index with the largest weighted effective resistance (parity
+    helper; reference: greedy_esp.py:67-107 — the reference's 10k-row
+    chunking is a host-memory workaround we don't need)."""
+    return int(np.argmax(
+        compute_weighted_effective_resistances(xuv_arr, xuv_edge_weights)
+    ))
 
 
 class GreedyESP:
@@ -107,13 +118,16 @@ class GreedyESP:
 
     # ------------------------------------------------------------ device part
 
-    def _solve_columns(self, B: jax.Array) -> jax.Array:
-        """L_fixed_reduced^-1 B on full-length vectors (row 0 pinned),
-        preconditioned by the pinned tridiagonal part of L_fixed."""
-        op, w = self._op_fixed, self._w_fixed
+    def _solve_columns(self, B: jax.Array, op=None, w=None) -> jax.Array:
+        """L_reduced^-1 B on full-length vectors (row 0 pinned),
+        preconditioned by the pinned tridiagonal part of L. Defaults to the
+        fixed-edge Laplacian; pass (op, w) to solve against an augmented
+        selection."""
+        if op is None:
+            op, w = self._op_fixed, self._w_fixed
         d, e = lap_tridiagonal_part(op, w)
         eps = 100 * jnp.finfo(w.dtype).eps
-        fac = tridiag_ldl(d[1:] + eps * jnp.max(d), e[1:])
+        fac = tridiag_ldl_auto(d[1:] + eps * jnp.max(d), e[1:])
 
         def Minv(V):
             sol = tridiag_solve_factored_fast(fac, V[1:, :])
@@ -122,6 +136,84 @@ class GreedyESP:
         apply_A = lambda V: lap_apply_reduced(op, w, V)
         res = pcg(apply_A, B, Minv, tol=self.cg_tol, maxiter=self.cg_maxiter)
         return res.X
+
+    # ------------------------------------------------- parity helper surface
+
+    def _augmented_operator(self, selected=None):
+        """(op, w) for L_S = L_fixed + selected candidate edges (host build;
+        diagnostic surface, not the hot path)."""
+        if selected is None or len(np.atleast_1d(selected)) == 0:
+            return self._op_fixed, self._w_fixed
+        sel = np.asarray(selected)
+        if sel.dtype == bool or (sel.ndim == 1 and sel.shape[0] == len(self.edge_weights)
+                                 and set(np.unique(sel)).issubset({0, 1})
+                                 and sel.max(initial=0) <= 1):
+            sel_idx = np.flatnonzero(sel)
+        else:
+            sel_idx = sel.astype(np.int64)
+        fixed_idx, w_fixed = edges_to_arrays(self.fixed_edges)
+        idx = np.concatenate([fixed_idx, self.cand_idx[sel_idx]], axis=0)
+        w = np.concatenate([w_fixed, self.edge_weights[sel_idx]])
+        op = build_operator(idx.astype(np.int32), self.num_nodes)
+        return op, jnp.asarray(w, dtype=self.dtype)
+
+    def get_all_xuv(self, M_idxs, selected=None):
+        """Solve vectors for the candidate edges in `M_idxs` against the
+        reduced Laplacian L_S of (fixed + `selected` candidates); returns
+        (xuv_arr (len(M_idxs), num_nodes), xuv_edge_idxs).
+
+        Parity surface for reference greedy_esp.py:307-325, which returns
+        CHOLMOD half-solves D^-1/2 L^-1 P a_uv whose squared norms are the
+        effective resistances. There is no sparse factor here, so each row
+        is the batched-CG solve direction y = L_S^-1 a_uv rescaled to the
+        same invariant ||x_uv||^2 = a_uv^T L_S^-1 a_uv — the quantity every
+        consumer (compute_weighted_effective_resistances,
+        find_idx_with_max_weighted_effective_resistance) relies on. Rows are
+        full n-vectors with the pinned node 0 entry equal to zero (the
+        reference returns (n-1)-vectors with node 0 dropped).
+        """
+        M_idxs = np.asarray(sorted(M_idxs) if isinstance(M_idxs, set) else M_idxs,
+                            dtype=np.int64).ravel()
+        op, w = self._augmented_operator(selected)
+        n = self.num_nodes
+        u = self.cand_idx[M_idxs, 0].astype(np.int64)
+        v = self.cand_idx[M_idxs, 1].astype(np.int64)
+        solve = jax.jit(lambda B: self._solve_columns(B, op, w))
+        rows = np.zeros((len(M_idxs), n), dtype=np.float64)
+        for s in range(0, len(M_idxs), self.chunk):
+            t = min(s + self.chunk, len(M_idxs))
+            c = t - s
+            cols = np.arange(c)
+            B = np.zeros((n, self.chunk), dtype=np.float64)
+            B[u[s:t], cols] += 1.0
+            B[v[s:t], cols] -= 1.0
+            B[0, :] = 0.0
+            Y = np.asarray(solve(jnp.asarray(B, dtype=self.dtype)))[:, :c]
+            r = Y[u[s:t], cols] - Y[v[s:t], cols]  # a^T L^-1 a per column
+            norms = np.linalg.norm(Y, axis=0)
+            scalef = np.sqrt(np.maximum(r, 0.0)) / np.where(norms > 0, norms, 1.0)
+            rows[s:t] = (Y * scalef[None, :]).T
+        return rows, M_idxs.astype(np.int32)
+
+    def find_edge_idx_with_max_weighted_effective_resistance(
+        self, xuv_arr: np.ndarray, xuv_edge_idxs
+    ) -> int:
+        """Candidate index whose xuv row has the largest weighted effective
+        resistance (reference: greedy_esp.py:279-296)."""
+        xuv_edge_idxs = np.asarray(xuv_edge_idxs)
+        local = find_idx_with_max_weighted_effective_resistance(
+            xuv_arr, self.edge_weights[xuv_edge_idxs]
+        )
+        return int(xuv_edge_idxs[local])
+
+    def get_best_edge(self, M_idxs, selected=None):
+        """(Edge, index) of the candidate in `M_idxs` with maximum weighted
+        effective resistance against L_S (reference: greedy_esp.py:298-305)."""
+        xuv_arr, xuv_edge_idxs = self.get_all_xuv(M_idxs, selected=selected)
+        best = self.find_edge_idx_with_max_weighted_effective_resistance(
+            xuv_arr, xuv_edge_idxs
+        )
+        return self.all_candidate_edges[best], best
 
     def _compute_gram(self) -> np.ndarray:
         """Z = L_red^-1 A for all candidates (chunked batched CG), then the

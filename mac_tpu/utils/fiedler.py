@@ -39,7 +39,7 @@ from mac_tpu.ops.lobpcg import (
     tracemin_fiedler,
 )
 from mac_tpu.ops.cg import pcg_fixed
-from mac_tpu.ops.tridiag import tridiag_ldl, tridiag_solve_factored_fast
+from mac_tpu.ops.tridiag import tridiag_ldl_auto, tridiag_solve_factored_fast
 from mac_tpu.ops import precond as _precond
 from mac_tpu.ops import twogrid as _twogrid
 
@@ -83,6 +83,7 @@ def fiedler_pair_op(
     method: str = "tracemin",
     precond: str = "twogrid",
     apply_override=None,
+    banded=None,
 ) -> FiedlerResult:
     """Device-side Fiedler solve on a GraphOperator with weights w.
 
@@ -106,8 +107,16 @@ def fiedler_pair_op(
     ):
         return dense_fiedler(lap_dense(op, w), q)
 
+    BD = None
     if apply_override is not None:
         apply_L = lambda V: apply_override(w, V)
+    elif banded is not None:
+        # Block-banded MXU apply (RCM-ordered operators; see
+        # mac_tpu.ops.banded). Exact f32 semantics via precision=HIGHEST.
+        from mac_tpu.ops import banded as _banded
+
+        BD = _banded.assemble_bd(banded, w)
+        apply_L = lambda V: _banded.banded_apply(banded, BD, V)
     elif op.mode == "dense":
         Ld = lap_dense(op, w)
         apply_L = lambda V: jnp.dot(Ld, V, preferred_element_type=V.dtype)
@@ -122,12 +131,16 @@ def fiedler_pair_op(
 
         return apply_L(V) + _shift_term(V, c)
 
-    if precond == "twogrid":
+    if BD is not None:
+        from mac_tpu.ops import banded as _banded
+
+        Minv = _banded.make_banded_precond(banded, BD, w=w)
+    elif precond == "twogrid":
         Minv = _twogrid.make_twogrid_precond(op, w, apply_L)
     else:
         d, e = lap_tridiagonal_part(op, w)
         eps = 100 * jnp.finfo(w.dtype).eps
-        fac = tridiag_ldl(d + eps * jnp.max(d), e)
+        fac = tridiag_ldl_auto(d + eps * jnp.max(d), e)
 
         def center(B):
             return B - jnp.mean(B, axis=0, keepdims=True)

@@ -75,3 +75,37 @@ def test_pcg_fixed_monotone_improvement():
     r8 = np.linalg.norm(A @ X8 - B)
     r32 = np.linalg.norm(A @ X32 - B)
     assert r32 < r8 < np.linalg.norm(B)
+
+
+def test_tridiag_ldl_blocked_preconditioner_quality():
+    """The blocked factorization (compile-light path for n > 32768) must
+    match tridiag_ldl away from segment boundaries and still act as an
+    effective approximate solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mac_tpu.ops.tridiag import (
+        tridiag_ldl,
+        tridiag_ldl_blocked,
+        tridiag_solve_factored,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 3000
+    e = -(0.5 + rng.rand(n - 1))
+    d = 0.1 + rng.rand(n) - np.concatenate([[0], e]) - np.concatenate([e, [0]])
+    f_full = tridiag_ldl(jnp.asarray(d), jnp.asarray(e))
+    f_blk = tridiag_ldl_blocked(jnp.asarray(d), jnp.asarray(e), block=1024)
+    dp_f = np.asarray(f_full.dp)
+    dp_b = np.asarray(f_blk.dp)
+    # Interior of each segment converges to the full pivots.
+    interior = np.ones(n, bool)
+    for b in range(0, n, 1024):
+        interior[b:b + 64] = False
+    np.testing.assert_allclose(dp_b[interior], dp_f[interior], rtol=1e-6)
+    # Approximate-solve quality: residual reduction on a random system.
+    x = rng.normal(size=(n, 2))
+    T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    b_rhs = T @ x
+    x_blk = np.asarray(tridiag_solve_factored(f_blk, jnp.asarray(b_rhs)))
+    rel = np.linalg.norm(T @ x_blk - b_rhs) / np.linalg.norm(b_rhs)
+    assert rel < 0.2, rel
