@@ -71,6 +71,18 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    for name, zptr in (("esp_lazy_select_zd", ctypes.POINTER(ctypes.c_double)),
+                       ("esp_lazy_select_zf", ctypes.POINTER(ctypes.c_float))):
+        fn = getattr(L, name, None)
+        if fn is None:
+            continue
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            zptr, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     _lib = L
     return _lib
 
@@ -95,6 +107,46 @@ def g2o_parse_arrays(path: str):
     if rc < 0:
         return None
     return se2[:n2], se3[:n3]
+
+
+def esp_lazy_select_z(Z: np.ndarray, u: np.ndarray, v: np.ndarray,
+                      w: np.ndarray, ks) -> Optional[np.ndarray]:
+    """Native lazy-greedy selection with on-demand Gram entries from the
+    solve matrix Z (n, m): G[p, e] = Z[u_p, e] - Z[v_p, e]. Z may be
+    float32 or float64 (score algebra is float64 either way). Returns the
+    (kmax,) selection order, or None when the native library is missing."""
+    L = lib()
+    if L is None:
+        return None
+    if Z.dtype == np.float32:
+        fn = getattr(L, "esp_lazy_select_zf", None)
+        cptr = ctypes.POINTER(ctypes.c_float)
+        Z = np.ascontiguousarray(Z, dtype=np.float32)
+    else:
+        fn = getattr(L, "esp_lazy_select_zd", None)
+        cptr = ctypes.POINTER(ctypes.c_double)
+        Z = np.ascontiguousarray(Z, dtype=np.float64)
+    if fn is None:
+        return None
+    u = np.ascontiguousarray(u, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    ks_arr = np.ascontiguousarray(ks, dtype=np.int64)
+    m = Z.shape[1]
+    order = np.zeros(int(ks_arr[-1]), dtype=np.int64)
+    rc = fn(
+        Z.ctypes.data_as(cptr),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m,
+        ks_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ks_arr),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return order
 
 
 def esp_lazy_select(G: np.ndarray, w: np.ndarray, ks) -> Optional[np.ndarray]:

@@ -67,9 +67,13 @@ COARSE_NC = 512
 class BandedOperator:
     """Static (per-topology) tables for block-banded L(w) products.
 
-    slot_tbl: (ndiag, nb, BS, BS) int32 — edge id whose -w occupies the
-        slot, or the sentinel m (weight 0). Built host-side; requires no
-        duplicate (i, j) pairs (the builder returns None otherwise).
+    lbt_tbl: (n_pad, half*BS) int32 — compact band table: edge id of
+        (i, i + d) at [i, d-1], sentinel m (weight 0) elsewhere. Built
+        host-side; requires no duplicate (i, j) pairs (the builder returns
+        None otherwise). The block-diagonal form expands from this on
+        device with a log-shear (see assemble_bd) — gathering the compact
+        table costs ~14x less than gathering the (ndiag, nb, BS, BS) form
+        directly (TPU gathers run at ~0.5 elements/ns regardless of dtype).
     R: (n_pad, nc) float — 0/1 aggregate indicator matrix, used only to
         assemble the coarse operator Lc = R^T (L R) via one banded apply.
     perm / iperm: (n,) int32 RCM permutation: perm[k] = original id of
@@ -83,7 +87,7 @@ class BandedOperator:
     n, nb, ndiag, coarse_s, coarse_nc: static metadata.
     """
 
-    slot_tbl: jax.Array
+    lbt_tbl: jax.Array
     R: jax.Array
     perm: jax.Array
     iperm: jax.Array
@@ -176,20 +180,15 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     nb = -(-n // BS)
     n_pad = nb * BS
 
-    tbl = np.full((ndiag, nb, BS, BS), m, dtype=np.int32)
-    bi, bj = lo // BS, hi // BS
-    ri, rj = lo % BS, hi % BS
-    # Upper (lo, hi) and symmetric lower (hi, lo) slots.
-    o_up = (bj - bi + half).astype(np.int64)
-    o_dn = (bi - bj + half).astype(np.int64)
-    up = ((o_up * nb + bi) * BS + ri) * BS + rj
-    dn = ((o_dn * nb + bj) * BS + rj) * BS + ri
-    flat = tbl.reshape(-1)
-    if np.unique(up).size != m:
+    # Compact band table: lbt[i, d] = edge id of (i, i+d), sentinel m.
+    # (d in [1, half*BS]; column 0 unused.) The block-diagonal form BD is
+    # expanded from this on device by a log-shear — see assemble_bd.
+    Dp = half * BS
+    lbt = np.full((n_pad, Dp), m, dtype=np.int32)
+    flat_pos = lo * Dp + (hi - lo - 1)
+    if np.unique(flat_pos).size != m:
         return None  # duplicate (i, j) pairs
-    e = np.arange(m, dtype=np.int32)
-    flat[up] = e
-    flat[dn] = e
+    lbt.reshape(-1)[flat_pos] = np.arange(m, dtype=np.int32)
 
     if perm is None:
         perm = np.arange(n, dtype=np.int64)
@@ -218,7 +217,7 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     chain_eid[olo[is_chain]] = np.arange(m, dtype=np.int32)[is_chain]
 
     return BandedOperator(
-        slot_tbl=jnp.asarray(tbl),
+        lbt_tbl=jnp.asarray(lbt),
         R=jnp.asarray(R, dtype=dtype),
         perm=jnp.asarray(perm, dtype=jnp.int32),
         iperm=jnp.asarray(iperm, dtype=jnp.int32),
@@ -232,16 +231,49 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
 
 
 def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
-    """BD(w): (ndiag, nb, BS, BS) block diagonals of L(w). One gather + one
-    reduction — no device scatter (see module docstring)."""
+    """BD(w): (ndiag, nb, BS, BS) block diagonals of L(w).
+
+    Scatter- and large-gather-free: one compact gather fills the band
+    table Wt[i, d-1] = -w of edge (i, i+d), then a LOG-SHEAR (log2(BS)
+    masked lane-rolls: row i shifts right by i mod BS) aligns every
+    block diagonal into contiguous column slices,
+
+        BD[half+t][b, r, c] = Sh[b*BS + r, BS*(t+1) + c],
+
+    lower diagonals by symmetry (BD[half-t][b] = BD[half+t][b-t]^T), and
+    the diagonal = weighted degrees = -(row sums). Device gathers on this
+    stack run at ~0.5 elements/ns, so gathering the compact (n_pad, half*BS)
+    table costs ~ndiag*BS/half times less than gathering BD directly
+    (measured 46.7 ms -> ~5 ms per weight update on city10000)."""
     dtype = w.dtype
+    n_pad, half, nb = bop.n_pad, bop.half, bop.nb
+    Dp = half * BS
+    W = BS * (half + 2)
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
-    BD = w_pad[bop.slot_tbl]
-    # Diagonal = weighted degree = -(off-diagonal row sums). Row i's entries
-    # all live in BD[:, bi, ri, :].
+    Wt = w_pad[bop.lbt_tbl]  # (n_pad, Dp): col d-1 = L[i, i+d]
+    # Data occupies columns [BS+1, BS+1+Dp); max shift BS-1 keeps every
+    # shifted entry below W — no wraparound of real data.
+    Ap = jnp.pad(Wt, ((0, 0), (BS + 1, W - BS - 1 - Dp)))
+    r = (jnp.arange(n_pad, dtype=jnp.int32) % BS)[:, None]
+    Sh = Ap
+    k = 1
+    while k < BS:
+        Sh = jnp.where((r & k) > 0, jnp.roll(Sh, k, axis=1), Sh)
+        k *= 2
+    up = [Sh[:, BS * (t + 1): BS * (t + 2)].reshape(nb, BS, BS)
+          for t in range(half + 1)]
+    diags = {half: up[0] + jnp.swapaxes(up[0], 1, 2)}
+    zblk = jnp.zeros((1, BS, BS), dtype)
+    for t in range(1, half + 1):
+        diags[half + t] = up[t]
+        low = jnp.swapaxes(up[t], 1, 2)[: nb - t]
+        diags[half - t] = jnp.concatenate(
+            [jnp.broadcast_to(zblk, (t, BS, BS)), low], axis=0)
+    BD = jnp.stack([diags[o] for o in range(2 * half + 1)], axis=0)
+    # Diagonal = weighted degree = -(off-diagonal row sums).
     deg = -jnp.sum(BD, axis=(0, 3))  # (nb, BS)
     eye = jnp.eye(BS, dtype=dtype)
-    BD = BD.at[bop.half].add(deg[:, :, None] * eye[None, :, :])
+    BD = BD.at[half].add(deg[:, :, None] * eye[None, :, :])
     return BD
 
 

@@ -76,19 +76,30 @@ def _hi(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float64)
 
 
-def _cholqr(S: jax.Array) -> jax.Array:
+def _gram(A: jax.Array, B: jax.Array, coeff_dtype) -> jax.Array:
+    """A^T B at coefficient precision: emulated float64 matmuls when
+    coeff_dtype is float64 (the safe default — see _hi), else the compute
+    dtype with 3-pass (exact-f32) MXU accumulation. The f32 option is ~8x
+    cheaper on TPU (measured: the f64 Rayleigh-Ritz step costs 4.1 ms vs
+    0.5 ms) at ~sqrt(n)*eps_f32 Gram accumulation noise — acceptable for
+    TRACEMIN, whose basis spans only low eigenmodes (||H|| ~ lambda_{3q})."""
+    if coeff_dtype == jnp.float64:
+        return _hi(A).T @ _hi(B)
+    return jnp.matmul(A.T, B, precision=jax.lax.Precision.HIGHEST)
+
+
+def _cholqr(S: jax.Array, coeff_dtype=jnp.float64) -> jax.Array:
     """One CholeskyQR pass: Q = S @ chol(S^T S + jitter)^-1.
 
     MXU-friendly (one Gram matmul + tiny Cholesky + triangular solve)
     and far cheaper to compile and run than Householder QR. The Gram and
-    the inverse-factor coefficients are computed in float64 (see _hi);
-    only the final (n, k) @ (k, k) application runs in the compute dtype.
-    The jitter keeps the Cholesky finite on rank-deficient bases (which
-    LOBPCG produces at convergence); the resulting extra directions are
-    harmless because the shifted operator bounds every Ritz value below by
-    lambda_2 (see module docstring)."""
-    S64 = _hi(S)
-    G = S64.T @ S64
+    the inverse-factor coefficients are computed at coeff_dtype (see
+    _gram); only the final (n, k) @ (k, k) application runs in the compute
+    dtype. The jitter keeps the Cholesky finite on rank-deficient bases
+    (which LOBPCG produces at convergence); the resulting extra directions
+    are harmless because the shifted operator bounds every Ritz value below
+    by lambda_2 (see module docstring)."""
+    G = _gram(S, S, coeff_dtype)
     k = G.shape[0]
     jitter = k * jnp.finfo(S.dtype).eps * (jnp.trace(G) + 1.0)
     R = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=G.dtype), upper=True)
@@ -98,11 +109,11 @@ def _cholqr(S: jax.Array) -> jax.Array:
     return S @ Rinv.astype(S.dtype)
 
 
-def _orth(S: jax.Array) -> jax.Array:
+def _orth(S: jax.Array, coeff_dtype=jnp.float64) -> jax.Array:
     """Orthonormalize columns: column scaling, then CholeskyQR2 (two passes
     restore full orthogonality — the standard remedy for CholQR's squared
     conditioning)."""
-    return _cholqr(_cholqr(_colnorm(S)))
+    return _cholqr(_cholqr(_colnorm(S), coeff_dtype), coeff_dtype)
 
 
 def _ortho_against(X: jax.Array, Y: jax.Array) -> jax.Array:
@@ -250,6 +261,7 @@ def tracemin_fiedler(
     stall_patience: int = 5,
     stall_factor: float = 0.99,
     rel_tol: Optional[float] = None,
+    coeff_dtype=None,
 ) -> FiedlerResult:
     """Block inverse (subspace) iteration with Rayleigh-Ritz — TRACEMIN.
 
@@ -270,6 +282,11 @@ def tracemin_fiedler(
     n, q = X0.shape
     dtype = X0.dtype
     eps = jnp.finfo(dtype).eps
+    # Coefficient-algebra dtype for the Gram/CholQR/Ritz problems (the
+    # O(n)-block work always stays in `dtype`): float64 by default — the
+    # measured-safe choice — float32 as the fast TPU option (see _gram).
+    if coeff_dtype is None:
+        coeff_dtype = jnp.float64
     # Requested tolerances below the precision floor are clamped so the
     # loop exits on convergence instead of burning maxiter: ~2.4e-4 in
     # float32 (slightly below the two-grid iteration's typical residual
@@ -293,9 +310,9 @@ def tracemin_fiedler(
         m64 = jnp.mean(V.astype(jnp.float64), axis=0, keepdims=True)
         return V - m64.astype(V.dtype)
 
-    X = _orth(project(X0))
+    X = _orth(project(X0), coeff_dtype)
     AX = apply_shifted(X)
-    H = _hi(X).T @ _hi(AX)
+    H = _gram(X, AX, coeff_dtype)
     lam, Y0 = jnp.linalg.eigh((H + H.T) / 2)
     Y0 = Y0.astype(dtype)
     X = X @ Y0
@@ -356,9 +373,9 @@ def tracemin_fiedler(
         Yp = _colnorm(_ortho_against(X, Y))
         Pp = _colnorm(_ortho_against(X, Xprev))
         S = jnp.concatenate([X, Yp, Pp], axis=1)  # (n, 3q)
-        Q = _orth(S)
+        Q = _orth(S, coeff_dtype)
         AQ = apply_shifted(Q)
-        H = _hi(Q).T @ _hi(AQ)
+        H = _gram(Q, AQ, coeff_dtype)
         H = (H + H.T) / 2
         evals, C = jnp.linalg.eigh(H)
         Cq = C[:, :q].astype(dtype)

@@ -134,6 +134,7 @@ class MAC:
         fiedler_maxiter: int = 200,
         fiedler_inner_iters: int = 16,
         fiedler_rel_tol=None,
+        fiedler_coeff_dtype=None,
         mesh=None,
         use_banded=None,
     ):
@@ -228,6 +229,10 @@ class MAC:
         # see mac_tpu.ops.lobpcg.tracemin_fiedler) — the speed/quality dial
         # for float32 runs.
         self.fiedler_rel_tol = fiedler_rel_tol
+        # Coefficient-algebra dtype for the eigensolver's small Gram/Ritz
+        # problems (None = float64, the safe default; float32 is ~8x
+        # cheaper per outer iteration on TPU — see mac_tpu.ops.lobpcg._gram).
+        self.fiedler_coeff_dtype = fiedler_coeff_dtype
         self.min_selection_weight_tol = float(min_selection_weight_tol)
 
         self._q = min(4, n - 1)
@@ -281,6 +286,7 @@ class MAC:
             method=self.fiedler_method,
             apply_override=None if self._sharded is None else self._sharded.apply,
             banded=banded,
+            coeff_dtype=self.fiedler_coeff_dtype,
         )
 
     def _eval_impl(self, params, x: jax.Array, X0: jax.Array) -> jax.Array:
@@ -532,6 +538,12 @@ class MAC:
         ks: (R,) budgets. x_init: optional (R, m) initial iterates (defaults
         to uniform k/m per lane). Returns (rounded (R, m), unrounded (R, m),
         upper (R,)) as numpy arrays.
+
+        When the solver was built with a mesh whose 'sweep' axis is > 1,
+        the budget lanes are sharded across that axis (data parallelism
+        over budgets; R must be divisible by the axis size) while the
+        'graph' axis continues to shard the Laplacian products inside each
+        lane's eigensolver.
         """
         ks = np.asarray(ks, dtype=np.int64)
         m = len(self.weights)
@@ -544,6 +556,16 @@ class MAC:
         assert x_init.shape == (R, m)
 
         keys = jax.random.split(jax.random.PRNGKey(seed), R)
+        if self.mesh is not None and self.mesh.shape.get("sweep", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_sweep = self.mesh.shape["sweep"]
+            assert R % n_sweep == 0, (
+                f"sweep width {R} must be divisible by the 'sweep' axis "
+                f"size {n_sweep}")
+            lane = NamedSharding(self.mesh, P("sweep", None))
+            x_init = jax.device_put(x_init, lane)
+            keys = jax.device_put(keys, lane)
         fn = functools.partial(
             self._fw_dynamic_impl,
             maxiter=int(max_iters),

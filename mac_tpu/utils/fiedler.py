@@ -84,6 +84,7 @@ def fiedler_pair_op(
     precond: str = "twogrid",
     apply_override=None,
     banded=None,
+    coeff_dtype=None,
 ) -> FiedlerResult:
     """Device-side Fiedler solve on a GraphOperator with weights w.
 
@@ -157,7 +158,7 @@ def fiedler_pair_op(
     # mac_tpu.ops.lobpcg.tracemin_fiedler.
     return tracemin_fiedler(
         apply_L, X, lnorm, Minv, tol=tol, maxiter=maxiter,
-        inner_iters=inner_iters, rel_tol=rel_tol,
+        inner_iters=inner_iters, rel_tol=rel_tol, coeff_dtype=coeff_dtype,
     )
 
 

@@ -1,10 +1,15 @@
-// Lazy-greedy k-ESP+ selection core over the candidate Gram matrix.
+// Lazy-greedy k-ESP+ selection core.
 //
 // Host-side counterpart of mac_tpu/solvers/greedy_esp.py::subsets_lazy: the
-// device computes G = A^T L_fixed^-1 A (batched CG + MXU matmuls); this
-// C++ core runs the inherently-sequential lazy-greedy selection with a
-// max-heap and per-candidate lazily-extended Cholesky columns of the
-// Woodbury core M_S = W_S^-1 + G[S, S].
+// device computes Z = L_fixed^-1 A (batched direct/CG solves); this C++
+// core runs the inherently-sequential lazy-greedy selection with a max-heap
+// and per-candidate lazily-extended Cholesky columns of the Woodbury core
+// M_S = W_S^-1 + G[S, S], where Gram entries are produced ON DEMAND from Z:
+//
+//     G[p, e] = a_p^T z_e = Z[u_p, e] - Z[v_p, e]
+//
+// so the (m, m) Gram matrix (0.9 GB at city10000) is never materialized —
+// memory is O(n*m) for Z plus O(kmax*m) for the lazily-touched columns.
 //
 // (The reference's equivalent inner loop drives CHOLMOD rank-1 updates from
 // Python, reference mac/solvers/greedy_esp.py:183-268.)
@@ -23,21 +28,15 @@ struct HeapItem {
   bool operator<(const HeapItem& o) const { return score < o.score; }
 };
 
-}  // namespace
-
-extern "C" {
-
-// G: (m, m) row-major Gram matrix; w: (m,) candidate weights;
-// ks: (n_ks,) monotone budgets; out_order: (ks[n_ks-1],) selection order.
-// Returns 0 on success, <0 on invalid input.
-int esp_lazy_select(const double* G, const double* w, int64_t m,
-                    const int64_t* ks, int64_t n_ks, int64_t* out_order) {
+// Shared selection loop. GramRow(p) must return a pointer-like accessor:
+// we pass a lambda `gram(p, e)` producing G[p, e] in double.
+template <typename GramFn>
+int lazy_select_impl(GramFn gram, const double* w, int64_t m,
+                     const int64_t* ks, int64_t n_ks, int64_t* out_order) {
   if (m <= 0 || n_ks <= 0) return -1;
   const int64_t kmax = ks[n_ks - 1];
   if (kmax > m) return -2;
 
-  // Lazily-extended columns U[:, e] (kmax rows max), stored column-major
-  // per candidate, plus cached partial resistances.
   std::vector<double> Ucols(static_cast<size_t>(kmax) * m, 0.0);
   std::vector<int64_t> filled(m, 0);
   std::vector<double> qcache(m);
@@ -47,7 +46,7 @@ int esp_lazy_select(const double* G, const double* w, int64_t m,
   piv.reserve(kmax);
   inv_sqrt_d.reserve(kmax);
 
-  for (int64_t e = 0; e < m; e++) qcache[e] = G[e * m + e];
+  for (int64_t e = 0; e < m; e++) qcache[e] = gram(e, e);
 
   std::priority_queue<HeapItem> pq;
   for (int64_t e = 0; e < m; e++) pq.push({w[e] * qcache[e], e});
@@ -60,7 +59,7 @@ int esp_lazy_select(const double* G, const double* w, int64_t m,
       const double* col_p = &Ucols[static_cast<size_t>(p) * kmax];
       double dot = 0.0;
       for (int64_t r = 0; r < s; r++) dot += col_p[r] * col_e[r];
-      const double u = (G[p * m + e] - dot) * inv_sqrt_d[s];
+      const double u = (gram(p, e) - dot) * inv_sqrt_d[s];
       col_e[s] = u;
       qcache[e] -= u * u;
     }
@@ -77,7 +76,8 @@ int esp_lazy_select(const double* G, const double* w, int64_t m,
       pq.pop();
       if (selected[top.idx]) continue;
       const double fresh = w[top.idx] * refresh(top.idx);
-      const double slack = 1e-13 * (std::fabs(fresh) > 1.0 ? std::fabs(fresh) : 1.0);
+      const double slack =
+          1e-13 * (std::fabs(fresh) > 1.0 ? std::fabs(fresh) : 1.0);
       if (fresh >= top.score - slack) {
         p = top.idx;
         break;
@@ -91,6 +91,45 @@ int esp_lazy_select(const double* G, const double* w, int64_t m,
     out_order[n_sel++] = p;
   }
   return 0;
+}
+
+// On-demand Gram entries from the solve matrix Z (n, m) row-major:
+// G[p, e] = Z[u_p, e] - Z[v_p, e].
+template <typename T>
+int lazy_select_z_impl(const T* Z, const int64_t* u, const int64_t* v,
+                       const double* w, int64_t m,
+                       const int64_t* ks, int64_t n_ks, int64_t* out_order) {
+  auto gram = [Z, u, v, m](int64_t p, int64_t e) -> double {
+    return static_cast<double>(Z[u[p] * m + e]) -
+           static_cast<double>(Z[v[p] * m + e]);
+  };
+  return lazy_select_impl(gram, w, m, ks, n_ks, out_order);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Z-based variants: never materialize the Gram matrix.
+int esp_lazy_select_zd(const double* Z, const int64_t* u, const int64_t* v,
+                       const double* w, int64_t m,
+                       const int64_t* ks, int64_t n_ks, int64_t* out_order) {
+  return lazy_select_z_impl(Z, u, v, w, m, ks, n_ks, out_order);
+}
+
+int esp_lazy_select_zf(const float* Z, const int64_t* u, const int64_t* v,
+                       const double* w, int64_t m,
+                       const int64_t* ks, int64_t n_ks, int64_t* out_order) {
+  return lazy_select_z_impl(Z, u, v, w, m, ks, n_ks, out_order);
+}
+
+// Legacy pre-materialized Gram variant. G: (m, m) row-major; w: (m,)
+// candidate weights; ks: (n_ks,) monotone budgets; out_order:
+// (ks[n_ks-1],) selection order. Returns 0 on success, <0 on bad input.
+int esp_lazy_select(const double* G, const double* w, int64_t m,
+                    const int64_t* ks, int64_t n_ks, int64_t* out_order) {
+  auto gram = [G, m](int64_t p, int64_t e) -> double { return G[p * m + e]; };
+  return lazy_select_impl(gram, w, m, ks, n_ks, out_order);
 }
 
 }  // extern "C"

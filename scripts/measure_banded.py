@@ -26,11 +26,16 @@ def main():
 
     configs = sys.argv[1:] or ["10,40,6e-4,3e-2", "16,40,6e-4,3e-2", "24,30,6e-4,3e-2"]
     for cfg in configs:
-        ii, mi, tol, rtol = cfg.split(",")
+        parts = cfg.split(",")
+        ii, mi, tol, rtol = parts[:4]
+        c32 = len(parts) > 4 and parts[4] == "c32"
+        import jax.numpy as jnp
         mac = MAC(fixed, cands, n, fiedler_inner_iters=int(ii),
                   fiedler_maxiter=int(mi), fiedler_tol=float(tol),
-                  fiedler_rel_tol=float(rtol), use_banded=True)
+                  fiedler_rel_tol=float(rtol), use_banded=True,
+                  fiedler_coeff_dtype=jnp.float32 if c32 else None)
         print(f"cfg inner={ii} maxiter={mi} tol={tol} rel_tol={rtol} "
+              f"coeff={'f32' if c32 else 'f64'} "
               f"banded={'ON' if mac._banded is not None else 'off'}", flush=True)
         t0 = time.perf_counter()
         mac.solve(k, x_init, rounding="nearest", max_iters=20, use_cache=True)

@@ -22,13 +22,14 @@ def main():
 
     esp = GreedyESP(fixed, cands, n)
     t0 = time.perf_counter()
-    G = esp._compute_gram()
-    t_gram = time.perf_counter() - t0
-    print(f"gram total: {t_gram:.1f}s (G {G.nbytes/1e9:.2f} GB)", flush=True)
+    Z = esp._compute_Z()
+    t_z = time.perf_counter() - t0
+    print(f"Z solves total: {t_z:.1f}s (Z {Z.nbytes/1e9:.2f} GB, "
+          f"{Z.dtype}, chain_direct={esp._fixed_is_chain})", flush=True)
 
     t0 = time.perf_counter()
     results, sel, times = esp.subsets_lazy(ks)
-    print(f"selection (native, cached gram): {time.perf_counter()-t0:.1f}s "
+    print(f"selection (native, cached Z): {time.perf_counter()-t0:.1f}s "
           f"cumulative={[round(t,1) for t in times]}", flush=True)
 
 

@@ -11,7 +11,12 @@ import jax.numpy as jnp
 
 from mac_tpu.ops.laplacian import build_operator, lap_apply
 from mac_tpu.parallel.mesh import make_mesh
-from mac_tpu.parallel.sharded import ShardedLaplacian
+from mac_tpu.parallel.sharded import (
+    EdgeShardedLaplacian,
+    ShardedLaplacian,
+    sharded_candidate_gradient,
+    sharded_top_k_indicator,
+)
 from mac_tpu.solvers import MAC
 from mac_tpu.utils.conversions import nx_to_mac
 from mac_tpu.utils.graphs import edges_to_arrays
@@ -22,6 +27,13 @@ def mesh():
     if len(jax.devices()) < 4:
         pytest.skip("needs >= 4 devices")
     return make_mesh(n_graph=4, n_sweep=1)
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >= 8 devices")
+    return make_mesh(n_graph=4, n_sweep=2)
 
 
 def _chain_plus_loops(n, n_loops, seed=0):
@@ -69,3 +81,62 @@ def test_mac_solve_on_mesh_matches_single_device(mesh):
     f2 = mac_local.evaluate_objective(r2)
     assert np.isclose(f1, f2, rtol=1e-6)
     assert np.isclose(b1, b2, rtol=1e-6)
+
+
+def test_edge_sharded_psum_apply_matches_local(mesh):
+    n = 97
+    G = _chain_plus_loops(n, 41, seed=5)
+    idx, w = edges_to_arrays(nx_to_mac(G))
+    op = build_operator(idx, n, mode="ell")
+    sh = EdgeShardedLaplacian(op, mesh)
+    V = jnp.asarray(np.random.RandomState(2).randn(n, 4))
+    w = jnp.asarray(w)
+    expected = lap_apply(op, w, V)
+    got = sh.apply(w, V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-10)
+
+
+def test_sharded_gradient_matches_local(mesh):
+    n = 80
+    G = _chain_plus_loops(n, 33, seed=7)
+    idx, w = edges_to_arrays(nx_to_mac(G))
+    rng = np.random.RandomState(3)
+    v = jnp.asarray(rng.randn(n))
+    w = jnp.asarray(w)
+    got = sharded_candidate_gradient(mesh, idx, w, v)
+    d = v[idx[:, 0]] - v[idx[:, 1]]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(w * d * d), rtol=1e-12)
+
+
+@pytest.mark.parametrize("k", [1, 7, 50])
+def test_sharded_top_k_matches_local(mesh, k):
+    rng = np.random.RandomState(4)
+    scores = jnp.asarray(rng.randn(123))
+    got = np.asarray(sharded_top_k_indicator(mesh, scores, k))
+    top = np.argsort(np.asarray(scores))[::-1][:k]
+    expect = np.zeros(123)
+    expect[top] = 1.0
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_solve_sweep_on_2x4_mesh_matches_local(mesh2x4):
+    """Budget lanes sharded over 'sweep', Laplacian row-blocks over
+    'graph' — both mesh axes exercised in one solve."""
+    n = 64
+    G = _chain_plus_loops(n, 24, seed=11)
+    edges = nx_to_mac(G)
+    fixed = [e for e in edges if abs(e.i - e.j) == 1]
+    cands = [e for e in edges if abs(e.i - e.j) > 1]
+    ks = [4, 8, 12, 16]
+
+    mac_mesh = MAC(fixed, cands, n, mesh=mesh2x4)
+    r1, x1, u1 = mac_mesh.solve_sweep(ks, max_iters=8)
+
+    mac_local = MAC(fixed, cands, n)
+    r2, x2, u2 = mac_local.solve_sweep(ks, max_iters=8)
+
+    np.testing.assert_allclose(u1, u2, rtol=1e-8)
+    for a, b in zip(r1, r2):
+        f1 = mac_local.evaluate_objective(a)
+        f2 = mac_local.evaluate_objective(b)
+        assert np.isclose(f1, f2, rtol=1e-6)
