@@ -67,13 +67,15 @@ COARSE_NC = 512
 class BandedOperator:
     """Static (per-topology) tables for block-banded L(w) products.
 
-    lbt_tbl: (n_pad, half*BS) int32 — compact band table: edge id of
-        (i, i + d) at [i, d-1], sentinel m (weight 0) elsewhere. Built
-        host-side; requires no duplicate (i, j) pairs (the builder returns
-        None otherwise). The block-diagonal form expands from this on
-        device with a log-shear (see assemble_bd) — gathering the compact
-        table costs ~14x less than gathering the (ndiag, nb, BS, BS) form
-        directly (TPU gathers run at ~0.5 elements/ns regardless of dtype).
+    ueid_tbl: (n_pad, du) int32 — upper-neighbor edge ids per node (edge
+        (i, j > i) listed at row i), sentinel m (weight 0) in padding.
+    dcol_tbl: (n_pad, du) int32 — the SHEARED column each slot's -w lands
+        in: BS + (j - i) + (i mod BS) (0 for padding slots — never read).
+        assemble_bd materializes the sheared band rows by du iota-compare
+        accumulations, so the only gather is the tiny (n_pad, du) weight
+        lookup. (A compact (n_pad, half*BS) band-table gather was measured
+        at 19 ms per weight update — TPU gathers run ~0.14-0.5 elt/ns —
+        versus ~1.5 ms for this form.)
     R: (n_pad, nc) float — 0/1 aggregate indicator matrix, used only to
         assemble the coarse operator Lc = R^T (L R) via one banded apply.
     perm / iperm: (n,) int32 RCM permutation: perm[k] = original id of
@@ -87,7 +89,8 @@ class BandedOperator:
     n, nb, ndiag, coarse_s, coarse_nc: static metadata.
     """
 
-    lbt_tbl: jax.Array
+    ueid_tbl: jax.Array
+    dcol_tbl: jax.Array
     R: jax.Array
     perm: jax.Array
     iperm: jax.Array
@@ -159,8 +162,8 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
 
     Host-side. Returns None when the formulation does not apply: bandwidth
     above MAX_BANDWIDTH (no narrow band exists — e.g. expander-like random
-    loop closures) or duplicate (i, j) edges (the gather table can hold one
-    edge per slot; all bundled datasets are duplicate-free).
+    loop closures). Duplicate (i, j) edges are fine (they occupy separate
+    accumulation slots and sum).
 
     perm/iperm/orig_idx: see build_banded_rcm — identity when omitted.
     """
@@ -180,15 +183,20 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     nb = -(-n // BS)
     n_pad = nb * BS
 
-    # Compact band table: lbt[i, d] = edge id of (i, i+d), sentinel m.
-    # (d in [1, half*BS]; column 0 unused.) The block-diagonal form BD is
-    # expanded from this on device by a log-shear — see assemble_bd.
-    Dp = half * BS
-    lbt = np.full((n_pad, Dp), m, dtype=np.int32)
-    flat_pos = lo * Dp + (hi - lo - 1)
-    if np.unique(flat_pos).size != m:
-        return None  # duplicate (i, j) pairs
-    lbt.reshape(-1)[flat_pos] = np.arange(m, dtype=np.int32)
+    # Upper-neighbor tables in the SHEARED band layout (see assemble_bd):
+    # edge (i, j) contributes -w at sheared column BS + (j - i) + (i % BS).
+    counts = np.zeros(n_pad, dtype=np.int64)
+    np.add.at(counts, lo, 1)
+    du = max(int(counts.max(initial=0)), 1)
+    ueid = np.full((n_pad, du), m, dtype=np.int32)
+    dcol = np.zeros((n_pad, du), dtype=np.int32)
+    cursor = np.zeros(n_pad, dtype=np.int64)
+    order = np.argsort(lo, kind="stable")
+    for t in order:
+        i = int(lo[t])
+        ueid[i, cursor[i]] = t
+        dcol[i, cursor[i]] = BS + int(hi[t] - lo[t]) + (i % BS)
+        cursor[i] += 1
 
     if perm is None:
         perm = np.arange(n, dtype=np.int64)
@@ -217,7 +225,8 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     chain_eid[olo[is_chain]] = np.arange(m, dtype=np.int32)[is_chain]
 
     return BandedOperator(
-        lbt_tbl=jnp.asarray(lbt),
+        ueid_tbl=jnp.asarray(ueid),
+        dcol_tbl=jnp.asarray(dcol),
         R=jnp.asarray(R, dtype=dtype),
         perm=jnp.asarray(perm, dtype=jnp.int32),
         iperm=jnp.asarray(iperm, dtype=jnp.int32),
@@ -233,33 +242,36 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
 def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
     """BD(w): (ndiag, nb, BS, BS) block diagonals of L(w).
 
-    Scatter- and large-gather-free: one compact gather fills the band
-    table Wt[i, d-1] = -w of edge (i, i+d), then a LOG-SHEAR (log2(BS)
-    masked lane-rolls: row i shifts right by i mod BS) aligns every
-    block diagonal into contiguous column slices,
+    Scatter- and gather-light: the SHEARED band matrix
+
+        Sh[i, BS + d + (i mod BS)] = -w of edge (i, i+d)
+
+    is accumulated with du iota-compare broadcasts (du = max upper degree,
+    ~10 on pose graphs; the shear offset i mod BS is folded into the static
+    column targets). Every upper block diagonal is then a contiguous
+    column slice,
 
         BD[half+t][b, r, c] = Sh[b*BS + r, BS*(t+1) + c],
 
-    lower diagonals by symmetry (BD[half-t][b] = BD[half+t][b-t]^T), and
-    the diagonal = weighted degrees = -(row sums). Device gathers on this
-    stack run at ~0.5 elements/ns, so gathering the compact (n_pad, half*BS)
-    table costs ~ndiag*BS/half times less than gathering BD directly
-    (measured 46.7 ms -> ~5 ms per weight update on city10000)."""
+    lower diagonals follow by symmetry (BD[half-t][b] = BD[half+t][b-t]^T),
+    and the diagonal = weighted degrees = -(row sums). Measured on
+    city10000: ~3 ms per weight update, vs 19 ms gathering a compact
+    (n_pad, half*BS) band table and 46.7 ms gathering BD's slots directly
+    (TPU gathers run ~0.14-0.5 element/ns — output-size bound)."""
     dtype = w.dtype
     n_pad, half, nb = bop.n_pad, bop.half, bop.nb
-    Dp = half * BS
     W = BS * (half + 2)
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
-    Wt = w_pad[bop.lbt_tbl]  # (n_pad, Dp): col d-1 = L[i, i+d]
-    # Data occupies columns [BS+1, BS+1+Dp); max shift BS-1 keeps every
-    # shifted entry below W — no wraparound of real data.
-    Ap = jnp.pad(Wt, ((0, 0), (BS + 1, W - BS - 1 - Dp)))
-    r = (jnp.arange(n_pad, dtype=jnp.int32) % BS)[:, None]
-    Sh = Ap
-    k = 1
-    while k < BS:
-        Sh = jnp.where((r & k) > 0, jnp.roll(Sh, k, axis=1), Sh)
-        k *= 2
+    # Sheared band rows Sh[i, BS + d + (i % BS)] = -w of edge (i, i+d),
+    # accumulated with du iota-compare broadcasts — the measured-fast form
+    # (the shear itself is folded into the static column targets; the only
+    # gather left is the tiny (n_pad, du) weight lookup).
+    wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, W), 1)
+    Sh = jnp.zeros((n_pad, W), dtype)
+    for kslot in range(bop.ueid_tbl.shape[1]):
+        Sh = Sh + wu[:, kslot:kslot + 1] * (
+            cols == bop.dcol_tbl[:, kslot:kslot + 1])
     up = [Sh[:, BS * (t + 1): BS * (t + 2)].reshape(nb, BS, BS)
           for t in range(half + 1)]
     diags = {half: up[0] + jnp.swapaxes(up[0], 1, 2)}
@@ -321,8 +333,10 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         (batched MXU matmuls, no permutes) — cheaper per application,
         weaker: all inter-block coupling is left to the coarse grid.
 
-    Coarse level: dense (nc, nc) inverse over RCM-contiguous aggregates,
-    assembled scatter-free as R^T (L R).
+    Coarse level: dense (nc, nc) inverse over ORIGINAL-order (trajectory-
+    contiguous) aggregates — measured 9 vs 16 outer iterations against
+    RCM-contiguous aggregates — assembled scatter-free as R^T (L R), with
+    restriction/prolongation routed through the permutation.
 
     Rebuild per weight vector; returns a pure (n, q) -> (n, q) function.
     """
@@ -343,7 +357,17 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         d_nat = deg_rcm[bop.iperm]
         w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
         e_nat = -w_pad[bop.chain_eid][: max(n - 1, 1)].astype(dtype)
-        fac = tridiag_ldl_auto(d_nat + 100 * eps * jnp.max(d_nat), e_nat)
+        dd = d_nat + 100 * eps * jnp.max(d_nat)
+        if n > 4096:
+            # Segment factorization: 3x cheaper to (re)build per weight
+            # update (measured 5.2 -> 1.8 ms) at the cost of dropping one
+            # chain coupling every `block` nodes — scale-512 structure the
+            # coarse level owns anyway.
+            from mac_tpu.ops.tridiag import tridiag_ldl_blocked
+
+            fac = tridiag_ldl_blocked(dd, e_nat, block=512)
+        else:
+            fac = tridiag_ldl_auto(dd, e_nat)
 
         def smooth(B):  # B in RCM order, (n, q)
             Xn = tridiag_solve_factored_fast(fac, B[bop.iperm])

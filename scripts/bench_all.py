@@ -32,8 +32,7 @@ def run(name):
     fixed, cands = split_edges(rpm_to_mac(measurements))
     k = len(cands) // 2
     x_init = NaiveGreedy(cands).subset(k)
-    mac = MAC(fixed, cands, n, fiedler_inner_iters=10, fiedler_maxiter=60,
-              fiedler_tol=6e-4)
+    mac = MAC(fixed, cands, n)  # automatic solver policy (default config)
     t0 = time.perf_counter()
     mac.solve(k, x_init, max_iters=20, use_cache=True)
     cold = time.perf_counter() - t0
