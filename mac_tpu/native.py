@@ -71,6 +71,15 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    fn = getattr(L, "esp_lazy_select_chain", None)
+    if fn is not None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     for name, zptr in (("esp_lazy_select_zd", ctypes.POINTER(ctypes.c_double)),
                        ("esp_lazy_select_zf", ctypes.POINTER(ctypes.c_float))):
         fn = getattr(L, name, None)
@@ -107,6 +116,35 @@ def g2o_parse_arrays(path: str):
     if rc < 0:
         return None
     return se2[:n2], se3[:n3]
+
+
+def esp_lazy_select_chain(rcum: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                          w: np.ndarray, ks) -> Optional[np.ndarray]:
+    """Native lazy-greedy selection with closed-form chain Gram entries
+    (overlap cumulative resistances — see native/esp_lazy.cc). Returns the
+    (kmax,) selection order, or None when the library is unavailable."""
+    L = lib()
+    if L is None or getattr(L, "esp_lazy_select_chain", None) is None:
+        return None
+    rcum = np.ascontiguousarray(rcum, dtype=np.float64)
+    lo = np.ascontiguousarray(lo, dtype=np.int64)
+    hi = np.ascontiguousarray(hi, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    ks_arr = np.ascontiguousarray(ks, dtype=np.int64)
+    order = np.zeros(int(ks_arr[-1]), dtype=np.int64)
+    rc = L.esp_lazy_select_chain(
+        rcum.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(lo),
+        ks_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ks_arr),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return order
 
 
 def esp_lazy_select_z(Z: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -132,15 +132,22 @@ class GreedyESP:
         self.dtype = dtype
         self._op_fixed = build_operator(fixed_idx, self.num_nodes)
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
-        # Pure odometry chain? Then the reduced L_fixed IS tridiagonal and
-        # Z comes from a direct parallel solve (true for every bundled
-        # dataset; the reference pays a CHOLMOD factorization here).
-        self._fixed_is_chain = bool(
-            len(fixed_idx) > 0
-            and np.all(np.abs(fixed_idx[:, 0].astype(np.int64)
-                              - fixed_idx[:, 1].astype(np.int64)) == 1)
-        )
+        # Pure odometry chain covering every position? Then Gram entries
+        # have a CLOSED FORM (overlap cumulative resistances — see
+        # _chain_rcum) and no solves happen at all (true for every bundled
+        # dataset; the reference pays a CHOLMOD factorization + per-edge
+        # forward solves here).
+        self._fixed_is_chain = False
+        if len(fixed_idx) > 0 and self.num_nodes > 1:
+            fi = fixed_idx.astype(np.int64)
+            if np.all(np.abs(fi[:, 0] - fi[:, 1]) == 1):
+                w_chain = np.zeros(self.num_nodes - 1)
+                np.add.at(w_chain, fi.min(axis=1), np.asarray(w_fixed, np.float64))
+                if np.all(w_chain > 0):
+                    self._fixed_is_chain = True
+                    self._chain_w = w_chain
         self._Z: Optional[np.ndarray] = None
+        self._rcum: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------ device part
 
@@ -208,15 +215,39 @@ class GreedyESP:
         self._Z = Z
         return Z
 
-    def _gram_row(self, Z: np.ndarray, p: int) -> np.ndarray:
-        """G[p, :] = a_p^T Z on demand (float64)."""
+    def _chain_rcum(self) -> np.ndarray:
+        """Cumulative chain resistances rcum[k] = sum_{i<k} 1/w_chain[i]
+        (parallel chain edges' conductances add). With these,
+
+            a_p^T L_fixed^-1 a_e
+              = max(0, rcum[min(hi_p, hi_e)] - rcum[max(lo_p, lo_e)])
+
+        — the classic path-overlap effective-resistance identity (verified
+        against the solve-based Gram to 1e-11), so the chain case needs no
+        linear solves at all."""
+        if self._rcum is None:
+            self._rcum = np.concatenate(
+                [[0.0], np.cumsum(1.0 / self._chain_w)])
+        return self._rcum
+
+    def _gram_row(self, Z: Optional[np.ndarray], p: int) -> np.ndarray:
+        """G[p, :] = a_p^T L_fixed^-1 A on demand (float64)."""
+        lo = np.minimum(self.cand_idx[:, 0], self.cand_idx[:, 1]).astype(np.int64)
+        hi = np.maximum(self.cand_idx[:, 0], self.cand_idx[:, 1]).astype(np.int64)
+        if self._fixed_is_chain:
+            rc = self._chain_rcum()
+            return np.maximum(
+                0.0, rc[np.minimum(hi[p], hi)] - rc[np.maximum(lo[p], lo)])
         u, v = int(self.cand_idx[p, 0]), int(self.cand_idx[p, 1])
         return Z[u].astype(np.float64) - Z[v].astype(np.float64)
 
-    def _gram_diag(self, Z: np.ndarray) -> np.ndarray:
-        cols = np.arange(len(self.edge_weights))
+    def _gram_diag(self, Z: Optional[np.ndarray]) -> np.ndarray:
         u = self.cand_idx[:, 0].astype(np.int64)
         v = self.cand_idx[:, 1].astype(np.int64)
+        if self._fixed_is_chain:
+            rc = self._chain_rcum()
+            return rc[np.maximum(u, v)] - rc[np.minimum(u, v)]
+        cols = np.arange(len(self.edge_weights))
         return Z[u, cols].astype(np.float64) - Z[v, cols].astype(np.float64)
 
     # ------------------------------------------------- parity helper surface
@@ -297,6 +328,74 @@ class GreedyESP:
         )
         return self.all_candidate_edges[best], best
 
+    # ----------------------------------------------------------- device greedy
+
+    # Below this many candidate-times-budget entries the host loops win
+    # (the device scan pays a per-shape compile).
+    SCAN_MIN_WORK = 2_000_000
+
+    def _select_scan_device(self, kmax: int) -> Optional[np.ndarray]:
+        """The ENTIRE greedy selection as one jitted `lax.scan` on device.
+
+        Eager greedy (identical selection semantics to the reference's
+        subset(), which lazy evaluation only accelerates, not changes):
+        each step is one (k,) @ (k, m) MXU product — the Woodbury column
+        algebra that costs O(k^2 m) scalar host flops total (measured
+        173 s on city10000 at K=50% in the native lazy core; the flop
+        count defeats laziness because overlapping chain intervals
+        invalidate the heap constantly) runs at MXU rate instead.
+
+        U rows >= t are zero, so the full-height product equals the
+        partial sum the recurrence needs — no dynamic shapes. Returns the
+        (kmax,) selection order.
+        """
+        m = len(self.edge_weights)
+        if m * kmax < self.SCAN_MIN_WORK:
+            return None
+        u = jnp.asarray(self.cand_idx[:, 0].astype(np.int64))
+        v = jnp.asarray(self.cand_idx[:, 1].astype(np.int64))
+        lo = jnp.minimum(u, v)
+        hi = jnp.maximum(u, v)
+        w = jnp.asarray(self.edge_weights)  # f64
+        if self._fixed_is_chain:
+            rc = jnp.asarray(self._chain_rcum())
+
+            def grow(p):
+                return jnp.maximum(0.0, rc[jnp.minimum(hi[p], hi)]
+                                   - rc[jnp.maximum(lo[p], lo)])
+        else:
+            Zd = jnp.asarray(self._compute_Z())  # (n, m) f32/f64
+
+            def grow(p):
+                return (Zd[u[p]] - Zd[v[p]]).astype(jnp.float64)
+
+        def step(carry, t):
+            U, q, avail = carry
+            scores = jnp.where(avail, w * q, -jnp.inf)
+            p = jnp.argmax(scores)  # first-max tie-break, like np.argmax
+            g = grow(p)
+            dot = jnp.matmul(U[:, p], U,
+                             precision=jax.lax.Precision.HIGHEST)
+            denom = 1.0 / w[p] + jnp.maximum(q[p], 0.0)
+            u_row = (g - dot.astype(jnp.float64)) / jnp.sqrt(denom)
+            U = jax.lax.dynamic_update_index_in_dim(
+                U, u_row.astype(U.dtype), t, 0)
+            q = q - u_row * u_row
+            avail = avail.at[p].set(False)
+            return (U, q, avail), p
+
+        q0 = jnp.asarray(self._gram_diag(
+            None if self._fixed_is_chain else self._compute_Z()))
+        init = (jnp.zeros((kmax, m), jnp.float32), q0, jnp.ones((m,), bool))
+
+        @jax.jit
+        def run(init):
+            (_, _, _), order = jax.lax.scan(
+                step, init, jnp.arange(kmax, dtype=jnp.int32))
+            return order
+
+        return np.asarray(jax.block_until_ready(run(init)))
+
     # ------------------------------------------------------------- host greedy
 
     def _pivot_denominator(self, q_p: float, w_p: float) -> float:
@@ -313,7 +412,12 @@ class GreedyESP:
         assert k > 0
         m = len(self.edge_weights)
         assert m >= k
-        Z = self._compute_Z()
+        order = self._select_scan_device(k)
+        if order is not None:
+            result = np.zeros(m)
+            result[order] = 1.0
+            return result, [self.all_candidate_edges[int(p)] for p in order]
+        Z = None if self._fixed_is_chain else self._compute_Z()
         w = self.edge_weights
 
         q = self._gram_diag(Z)  # unweighted effective resistances vs L_S
@@ -353,16 +457,27 @@ class GreedyESP:
         m = len(self.edge_weights)
         assert m >= ks[-1], "Not enough candidate edges to satisfy the largest budget"
         assert ks[0] > 0, "budgets must be positive"
-        Z = self._compute_Z()
         w = self.edge_weights
         u_idx = self.cand_idx[:, 0].astype(np.int64)
         v_idx = self.cand_idx[:, 1].astype(np.int64)
 
         # Native C++ selection core when built (mac_tpu.native); identical
-        # semantics to the Python loop below. Gram entries on demand from Z.
+        # semantics to the Python loop below. Gram entries on demand —
+        # closed-form for chain-fixed graphs, from Z otherwise.
         from mac_tpu import native
 
-        order = native.esp_lazy_select_z(Z, u_idx, v_idx, w, ks)
+        # Device scan for large problems (one MXU product per selection);
+        # native C++ lazy core otherwise; pure-Python loop as last resort.
+        Z = None
+        order = self._select_scan_device(int(ks[-1]))
+        if order is None:
+            if self._fixed_is_chain:
+                order = native.esp_lazy_select_chain(
+                    self._chain_rcum(), np.minimum(u_idx, v_idx),
+                    np.maximum(u_idx, v_idx), w, ks)
+            else:
+                Z = self._compute_Z()
+                order = native.esp_lazy_select_z(Z, u_idx, v_idx, w, ks)
         if order is not None:
             result = np.zeros(m)
             results, times, selected = [], [], []
@@ -386,8 +501,17 @@ class GreedyESP:
         filled = np.zeros(m, dtype=np.int64)  # rows of Ucols[:, e] that are valid
         qcache = self._gram_diag(Z)  # q_e given `filled[e]` rows incorporated
 
-        def gram(p: int, e: int) -> float:
-            return (float(Z[u_idx[p], e]) - float(Z[v_idx[p], e]))
+        if self._fixed_is_chain:
+            rc = self._chain_rcum()
+            clo = np.minimum(u_idx, v_idx)
+            chi = np.maximum(u_idx, v_idx)
+
+            def gram(p: int, e: int) -> float:
+                ov = rc[min(chi[p], chi[e])] - rc[max(clo[p], clo[e])]
+                return float(ov) if ov > 0.0 else 0.0
+        else:
+            def gram(p: int, e: int) -> float:
+                return (float(Z[u_idx[p], e]) - float(Z[v_idx[p], e]))
 
         def refresh(e: int) -> float:
             """Extend candidate e's column to all current pivots; return its

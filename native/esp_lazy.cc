@@ -110,6 +110,24 @@ int lazy_select_z_impl(const T* Z, const int64_t* u, const int64_t* v,
 
 extern "C" {
 
+// Chain closed-form variant: when the fixed graph is a weighted path,
+// a_p^T L_fixed^-1 a_e is the cumulative resistance of the OVERLAP of the
+// two candidate intervals:
+//     G[p, e] = max(0, rcum[min(hi_p, hi_e)] - rcum[max(lo_p, lo_e)]),
+// rcum[k] = sum_{i<k} 1/w_chain[i]. No solves, no Z — O(n) memory.
+int esp_lazy_select_chain(const double* rcum, const int64_t* lo,
+                          const int64_t* hi, const double* w, int64_t m,
+                          const int64_t* ks, int64_t n_ks,
+                          int64_t* out_order) {
+  auto gram = [rcum, lo, hi](int64_t p, int64_t e) -> double {
+    const int64_t a = lo[p] > lo[e] ? lo[p] : lo[e];
+    const int64_t b = hi[p] < hi[e] ? hi[p] : hi[e];
+    const double ov = rcum[b] - rcum[a];
+    return ov > 0.0 ? ov : 0.0;
+  };
+  return lazy_select_impl(gram, w, m, ks, n_ks, out_order);
+}
+
 // Z-based variants: never materialize the Gram matrix.
 int esp_lazy_select_zd(const double* Z, const int64_t* u, const int64_t* v,
                        const double* w, int64_t m,

@@ -162,3 +162,34 @@ def test_greedy_eig_matches_bruteforce():
     mask, sel = eig.subset(k)
     np.testing.assert_allclose(mask, oracle_mask)
     assert len(sel) == k
+
+
+def test_esp_device_scan_matches_host_selection():
+    """The one-lax.scan eager selection must reproduce the host greedy
+    order (same argmax/tie semantics) above its size gate."""
+    import numpy as np
+    from mac_tpu.solvers.greedy_esp import GreedyESP
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(5)
+    n = 900
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    cands, seen = [], set()
+    while len(cands) < 2500:
+        i, j = sorted(rng.randint(0, n, 2))
+        if j - i > 1 and (i, j) not in seen:
+            seen.add((i, j))
+            cands.append(Edge(int(i), int(j), 0.5 + rng.rand()))
+    k = 840  # m * k >= SCAN_MIN_WORK -> device-scan path engages
+
+    esp = GreedyESP(fixed, cands, n)
+    assert esp._fixed_is_chain
+    order_scan = esp._select_scan_device(k)
+    assert order_scan is not None
+
+    esp2 = GreedyESP(fixed, cands, n)
+    esp2.SCAN_MIN_WORK = 10**18  # force the host (native/python) path
+    res_host, sel_host, _ = esp2.subset_lazy(k)
+    host_set = set(np.flatnonzero(res_host))
+    # Same selected SET (order can differ only at exact ties; none here).
+    assert set(int(p) for p in order_scan) == host_set
