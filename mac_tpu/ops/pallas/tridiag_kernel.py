@@ -101,3 +101,54 @@ def tridiag_solve_fused(dp: jax.Array, l: jax.Array, B: jax.Array,
         interpret=interpret,
     )(dp_p, l_p, b_p)
     return out[:q, :n].T
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def tridiag_solve_fused_blocked(dp: jax.Array, l: jax.Array, B: jax.Array,
+                                block: int = 1024,
+                                interpret: bool = False) -> jax.Array:
+    """Segment-decoupled fused solve for factors from
+    `tridiag_ldl_blocked` (l = 0 at every `block` boundary, so segments
+    solve independently — enforced defensively here).
+
+    The whole-row kernel holds (q_pad + 3) full rows of n_pad lanes in
+    VMEM, which blows the ~16 MB budget past n ~ 3e4 (measured OOM at
+    n = 1e5: 30.9 MB). This variant reshapes to (q * n/block, block):
+    same Hillis-Steele lane scans, VMEM independent of n. `block` must be
+    a multiple of the factor's segment length (zeroed boundaries compose).
+    """
+    n, q = B.shape
+    nbl = -(-n // block)
+    n_pad = nbl * block
+    dtype = B.dtype
+    pos = jnp.arange(n_pad) % block
+
+    dp_p = jnp.ones((n_pad,), dtype).at[:n].set(dp.astype(dtype))
+    l_p = jnp.zeros((n_pad,), dtype).at[:n].set(l.astype(dtype))
+    l_p = jnp.where(pos == 0, 0.0, l_p)  # decouple segments
+    dp_b = jnp.tile(dp_p.reshape(nbl, block), (q, 1))      # (q*nbl, block)
+    l_b = jnp.tile(l_p.reshape(nbl, block), (q, 1))
+    b_p = jnp.concatenate(
+        [B, jnp.zeros((n_pad - n, q), dtype)], axis=0)
+    b_b = b_p.T.reshape(q * nbl, block)
+
+    rows = q * nbl
+    rows_pad = -(-rows // 8) * 8
+    if rows_pad != rows:
+        z = jnp.zeros((rows_pad - rows, block), dtype)
+        dp_b = jnp.concatenate([dp_b, jnp.ones_like(z)], axis=0)
+        l_b = jnp.concatenate([l_b, z], axis=0)
+        b_b = jnp.concatenate([b_b, z], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_tridiag_kernel, n_pad=block),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, block), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(dp_b, l_b, b_b)
+    return out[:rows].reshape(q, n_pad)[:, :n].T

@@ -180,7 +180,21 @@ def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
         and B.dtype == jnp.float32
         and B.shape[1] <= 32
     ):
-        from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
+        n, q = B.shape
+        if n <= TRIDIAG_SCAN_MAX_N:
+            from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
 
-        return tridiag_solve_fused(f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
+            return tridiag_solve_fused(
+                f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
+        # Beyond the whole-row kernel's VMEM budget (measured OOM at
+        # n = 1e5): segment-decoupled variant, valid because factors at
+        # this size come from tridiag_ldl_blocked (zero boundary
+        # couplings; 1024 is a multiple of every block size used).
+        if (-(-q // 8) * 8) * (-(-n // 1024) * 1024) * 4 * 6 <= 12 * 2**20:
+            from mac_tpu.ops.pallas.tridiag_kernel import (
+                tridiag_solve_fused_blocked,
+            )
+
+            return tridiag_solve_fused_blocked(
+                f.dp.astype(B.dtype), f.l.astype(B.dtype), B, block=1024)
     return tridiag_solve_factored(f, B)

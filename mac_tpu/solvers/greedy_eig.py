@@ -96,7 +96,8 @@ class GreedyEig:
             # (and so is every later chunk).
             bounds = lam + grad[unsel]
             order = unsel[np.argsort(-bounds)]
-            best_idx, best_l2, best_X = -1, 0.0, None
+            best_l2 = 0.0
+            evals = []  # (candidate index, lambda2, X block)
             for s in range(0, len(order), self.chunk):
                 cand = order[s : s + self.chunk]
                 if lam + grad[cand].max() < best_l2:
@@ -105,13 +106,22 @@ class GreedyEig:
                 xs[np.arange(len(cand)), cand] = 1.0
                 lams, Xs = self._eval_batch(jnp.asarray(xs, self.dtype), X)
                 lams = np.asarray(lams)
-                # Tie-break toward the lowest candidate index (within tol),
-                # matching the reference's first-improver rule.
-                for t in np.argsort(cand):
-                    if lams[t] > best_l2 + tol:
-                        best_l2 = float(lams[t])
-                        best_idx = int(cand[t])
-                        best_X = Xs[t]
+                best_l2 = max(best_l2, float(lams.max()))
+                for t in range(len(cand)):
+                    evals.append((int(cand[t]), float(lams[t]), Xs[t]))
+            # Winner: the LOWEST candidate index within tol of the best —
+            # the reference's index-order scan with its 1e-8 improvement
+            # threshold keeps exactly the first member of the tie group
+            # (reference greedy_eig.py:140-144); chunks here are visited
+            # best-bound-first, so the rule is applied after collection
+            # rather than during the scan. Candidates pruned by the
+            # supergradient bound satisfy lam <= bound < best_l2 - and
+            # cannot be in the tie group.
+            best_idx, best_X = -1, None
+            for idx, l2, Xc in sorted(evals, key=lambda r: r[0]):
+                if l2 >= best_l2 - tol:
+                    best_idx, best_l2, best_X = idx, l2, Xc
+                    break
             assert best_idx != -1, "no improving edge found"
             solution[best_idx] = 1.0
             selected.append(

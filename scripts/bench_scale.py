@@ -69,15 +69,24 @@ def run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters):
 
 
 def main():
-    ns = [int(v) for v in sys.argv[1:]] or [30000, 100000]
+    args = [a for a in sys.argv[1:]]
+    ours_only = "--ours-only" in args
+    ref_only = "--ref-only" in args
+    ns = [int(v) for v in args if not v.startswith("--")] or [30000, 100000]
     max_iters = 10
     out = []
     for n in ns:
         fixed_idx, w_fixed, cand_idx, w_cand = synthetic(n)
         k = len(w_cand) // 4
         print(f"=== n={n} m_cand={len(w_cand)} k={k} ===", flush=True)
+        if ref_only:
+            ref = run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
+            print(json.dumps(dict(n=n, **ref)), flush=True)
+            continue
         ours = run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
         print(json.dumps(dict(n=n, **ours)), flush=True)
+        if ours_only:
+            continue
         ref = run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
         print(json.dumps(dict(n=n, **ref)), flush=True)
         speedup = ref["solve_s"] / ours["warm_s"]

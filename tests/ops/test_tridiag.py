@@ -109,3 +109,26 @@ def test_tridiag_ldl_blocked_preconditioner_quality():
     x_blk = np.asarray(tridiag_solve_factored(f_blk, jnp.asarray(b_rhs)))
     rel = np.linalg.norm(T @ x_blk - b_rhs) / np.linalg.norm(b_rhs)
     assert rel < 0.2, rel
+
+
+def test_blocked_fused_kernel_matches_scan_solve():
+    """The segment-decoupled Pallas solve (interpret mode) must match the
+    associative-scan solve for a blocked factor."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mac_tpu.ops.tridiag import tridiag_ldl_blocked, tridiag_solve_factored
+    from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused_blocked
+
+    rng = np.random.RandomState(1)
+    n = 2500
+    e = -(0.5 + rng.rand(n - 1))
+    d = 0.1 + rng.rand(n) - np.concatenate([[0], e]) - np.concatenate([e, [0]])
+    f = tridiag_ldl_blocked(jnp.asarray(d, jnp.float32),
+                            jnp.asarray(e, jnp.float32), block=1024)
+    B = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    ref = tridiag_solve_factored(f, B)
+    got = tridiag_solve_fused_blocked(
+        f.dp.astype(jnp.float32), f.l.astype(jnp.float32), B,
+        block=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
