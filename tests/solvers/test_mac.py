@@ -206,11 +206,12 @@ def test_automatic_solver_policy_resolution():
     # Forced banded + f32: the fast policy.
     mac_fast = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True)
     assert mac_fast._banded is not None
-    assert mac_fast.fiedler_inner_iters == 8
+    assert mac_fast.fiedler_inner_iters == 10
     assert mac_fast.fiedler_maxiter == 50
     assert mac_fast.fiedler_tol == 6e-4
     assert mac_fast.fiedler_rel_tol == 3e-2
     assert mac_fast.fiedler_coeff_dtype == jnp.float32
+    assert mac_fast.fiedler_warm_maxiter == 5
 
     # Default CPU path: conservative round-1 defaults.
     mac_ref = MAC(fixed, cands, n)
