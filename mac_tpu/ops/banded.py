@@ -401,7 +401,13 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
     # Rank-one constant-mode shift makes Lc SPD (same trick as the
     # eigensolver); the inverse is a *preconditioner* component, f32 is fine.
     cshift = 2.0 * jnp.max(jnp.diag(Lc)) + 1.0
-    jit_c = 100 * eps * (jnp.trace(Lc) / nc + 1.0)
+    # The diagonal jitter must dominate the ASSEMBLY error, not machine
+    # eps: Lc comes from a DEFAULT-precision (single bf16 pass) product,
+    # whose ~1e-3-relative asymmetric error can push the exact-arithmetic-
+    # PSD matrix indefinite — observed as a NaN Cholesky -> NaN eigensolve
+    # on sphere2500's rounded selection. 1% diagonal inflation is invisible
+    # to a preconditioner.
+    jit_c = 1e-2 * (jnp.trace(Lc) / nc) + 100 * eps
     Lc_reg = (Lc + (cshift / nc) * jnp.ones((nc, nc), dtype)
               + jit_c * jnp.eye(nc, dtype=dtype))
     Rc = jnp.linalg.cholesky(Lc_reg, upper=True)

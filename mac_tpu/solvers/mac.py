@@ -253,10 +253,13 @@ class MAC:
             fiedler_rel_tol = 3e-2
         if fiedler_coeff_dtype is None and fast32:
             fiedler_coeff_dtype = jnp.float32
-        if fiedler_warm_maxiter is None and fast32:
+        if fiedler_warm_maxiter is None and fast32 and n >= 4096:
             # Inexact Frank-Wolfe: warm-started steps cap the eigensolver
             # at 5 outer iterations (measured on city10000: 0.69 -> 0.48 s
             # with the relaxed objective still ABOVE the reference's).
+            # Small graphs converge in a handful of outers anyway and the
+            # cap was measured to cost them objective quality (intel:
+            # -1.7e-3 relative) for negligible speed — full budget there.
             fiedler_warm_maxiter = 5
         self.fiedler_warm_maxiter = fiedler_warm_maxiter
         self.fiedler_tol = float(fiedler_tol)
