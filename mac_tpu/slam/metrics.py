@@ -95,3 +95,53 @@ def poses_ate_tran(estimate: np.ndarray, reference: np.ndarray) -> float:
 
 def poses_rpe_rot(estimate: np.ndarray, reference: np.ndarray) -> float:
     return rpe_rot(estimate, reference)
+
+
+def se2poses_to_x(poses) -> np.ndarray:
+    """Pack N SE(2) pose matrices into the SE-Sync variable-matrix layout
+    [t_1 .. t_N | R_1 .. R_N] of shape (2, 3N)
+    (reference: pose_graph_utils.py:68-87), vectorized."""
+    P = np.asarray(poses, dtype=np.float64)  # (N, 3, 3)
+    N = P.shape[0]
+    X = np.zeros((2, 3 * N))
+    X[:, :N] = P[:, :2, 2].T
+    X[:, N:] = P[:, :2, :2].transpose(1, 0, 2).reshape(2, 2 * N)
+    return X
+
+
+def Rt_from_pose(pose: np.ndarray):
+    """(rotation block, translation block) of one SE(2) pose matrix
+    (reference: pose_graph_utils.py:90-103)."""
+    pose = np.asarray(pose)
+    assert pose.shape == (3, 3)
+    X = se2poses_to_x([pose])
+    return rotations_from_variable_matrix(X), translations_from_variable_matrix(X)
+
+
+def se2_to_se3(pose: np.ndarray) -> np.ndarray:
+    """Embed an SE(2) pose matrix into SE(3): [R 0 t; 0 0 1 0; 0 0 0 1]
+    (reference: pose_graph_utils.py:414-430)."""
+    pose = np.asarray(pose, dtype=np.float64)
+    R, t = pose[:2, :2], pose[:2, 2]
+    out = np.eye(4)
+    out[:2, :2] = R
+    out[:2, 3] = t
+    return out
+
+
+def poses_to_se3_matrices(xhat: np.ndarray) -> np.ndarray:
+    """(N, 4, 4) homogeneous SE(3) matrices from an SE-Sync variable
+    matrix (2D poses embedded). Role of the reference's
+    `sesync_poses_to_traj` (pose_graph_utils.py:432-468), which builds an
+    `evo` PoseTrajectory3D — trajectory metrics here consume the variable
+    matrix directly (ate_tran / rpe_rot), so this returns plain arrays."""
+    xhat = np.asarray(xhat, dtype=np.float64)
+    d = xhat.shape[0]
+    n = xhat.shape[1] // (d + 1)
+    t = translations_from_variable_matrix(xhat)
+    R = rotations_from_variable_matrix(xhat)
+    out = np.tile(np.eye(4), (n, 1, 1))
+    out[:, :d, 3] = t.T
+    Rs = R.reshape(d, n, d).transpose(1, 0, 2)
+    out[:, :d, :d] = Rs
+    return out

@@ -124,7 +124,12 @@ def fiedler_pair_op(
     else:
         apply_L = lambda V: lap_apply(op, w, V)
 
-    lnorm = lap_inf_norm(op, w)
+    if BD is not None:
+        # ||L||_inf = 2 max degree, read off BD's diagonal — the ELL-table
+        # route costs a ~1 ms (n, dmax) gather per weight update.
+        lnorm = 2.0 * jnp.max(jnp.einsum("bii->bi", BD[banded.half]))
+    else:
+        lnorm = lap_inf_norm(op, w)
     c = lnorm
 
     def apply_shifted(V):
@@ -223,3 +228,28 @@ def find_fiedler_pair(
     res = fiedler_pair_op(op, w, X, tol=tol, maxiter=maxiter, method=method,
                           chain_w=chain_w)
     return res.lam[0], res.X[:, 0], res.X
+
+
+def tracemin_fiedler_cholesky(L, X=None, normalized=False, tol=1e-8):
+    """Reference-name parity wrapper (mac/utils/cholesky.py:137-240): the
+    reference's 'tracemin_cholesky' solver is a TRACEMIN iteration with
+    CHOLMOD inner solves; here every tracemin path runs the TPU-native
+    preconditioned engine. `normalized` is not supported (the reference's
+    own normalized branch references an undefined variable — a latent
+    reference bug, cholesky.py:316)."""
+    if normalized:
+        raise NotImplementedError(
+            "normalized Laplacian tracemin is unsupported (the reference's "
+            "branch is itself broken: undefined `L`, cholesky.py:316)")
+    lam, v, X = find_fiedler_pair(L, X=X, method="tracemin_cholesky", tol=tol)
+    import numpy as _np
+
+    return _np.array([float(lam)]), _np.asarray(X).T
+
+
+def find_fiedler_pair_cholesky(L, x=None, normalized=False, tol=1e-8,
+                               seed=None):
+    """Reference-name parity wrapper (mac/utils/cholesky.py:243-247):
+    returns (lambda_2, fiedler_vector)."""
+    sigma, X = tracemin_fiedler_cholesky(L, X=x, normalized=normalized, tol=tol)
+    return sigma[0], X[0]

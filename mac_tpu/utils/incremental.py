@@ -119,3 +119,10 @@ class IncrementalFiedlerSolver:
         res = self._solve_jit(w_eff, Xw)
         self._X = res.X
         return float(res.lam[0]), np.asarray(res.X[:, 0])
+
+
+# Reference-name alias: the reference's CholeskyFiedlerSolver
+# (mac/utils/cholesky.py:250-376) maintains a CHOLMOD factor under rank-1
+# updates; IncrementalFiedlerSolver owns that role here (warm-started
+# re-solves over toggled weights — see module docstring).
+CholeskyFiedlerSolver = IncrementalFiedlerSolver
