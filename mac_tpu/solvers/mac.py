@@ -102,6 +102,17 @@ def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
         return jnp.float32, None
 
 
+def _on_instance_device(fn):
+    """Run a MAC method under the instance's device context (see
+    MAC._device_ctx — pins auto-escalated float64 instances to the
+    in-process CPU backend)."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._device_ctx():
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class MAC:
     """Algebraic-connectivity-maximizing edge selection.
 
@@ -184,6 +195,48 @@ class MAC:
         self.weights = np.asarray(w_cand)
         self.edge_list = np.asarray(cand_idx)
 
+        # Float64 instances run on the in-process CPU backend when the
+        # default accelerator is a TPU: TPU f64 is software-emulated and
+        # these are precisely the small/ill-conditioned graphs (kitti,
+        # ais2klinik) where native-f64 CPU latency wins (measured: the f64
+        # TPU path was 7-25x slower than the CPU reference). Device
+        # placement is per-instance: arrays built and jitted calls invoked
+        # under `jax.default_device` (see _device_ctx).
+        self._device = None
+        if (
+            mesh is None
+            and dtype == jnp.float64
+            and jax.default_backend() == "tpu"
+        ):
+            try:
+                self._device = jax.devices("cpu")[0]
+            except Exception:
+                self._device = None
+
+        with self._device_ctx():
+            self._finish_init(fixed_idx, w_fixed, cand_idx, w_cand, n,
+                              num_edges, fiedler_method, fiedler_tol,
+                              min_selection_weight_tol, fiedler_maxiter,
+                              fiedler_inner_iters, fiedler_rel_tol,
+                              fiedler_coeff_dtype, fiedler_warm_maxiter,
+                              mesh, use_banded)
+
+    def _device_ctx(self):
+        """Context manager pinning computation to this instance's device
+        (no-op when following the backend default)."""
+        import contextlib
+
+        if self._device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._device)
+
+    def _finish_init(self, fixed_idx, w_fixed, cand_idx, w_cand, n,
+                     num_edges, fiedler_method, fiedler_tol,
+                     min_selection_weight_tol, fiedler_maxiter,
+                     fiedler_inner_iters, fiedler_rel_tol,
+                     fiedler_coeff_dtype, fiedler_warm_maxiter,
+                     mesh, use_banded):
+        dtype = self.dtype
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
         self._w_cand = jnp.asarray(w_cand, dtype=dtype)
         all_idx = np.concatenate([fixed_idx, cand_idx], axis=0) if num_edges else fixed_idx
@@ -426,6 +479,7 @@ class MAC:
         w = np.concatenate([np.asarray(self._w_fixed), x[keep] * self.weights[keep]])
         return weight_graph_lap_from_edges(idx, w, self.num_nodes)
 
+    @_on_instance_device
     def evaluate_objective(self, x) -> float:
         """F(x) = lambda_2(L(x)) (reference: mac.py:91-102). In float32
         compute mode the returned value is refined to float64 on the host
@@ -436,6 +490,7 @@ class MAC:
             return float(lam)
         return self._refine_lambda(np.asarray(x), np.asarray(X[:, 0]))
 
+    @_on_instance_device
     def problem(self, x, cache: Optional["MAC.Cache"] = None):
         """(F(x), grad F(x)), warm-starting from and updating `cache.Q`
         (reference: mac.py:104-128 — whose cache update was dead code; this
@@ -447,6 +502,7 @@ class MAC:
             cache.Q = Xnew
         return float(f), np.asarray(grad)
 
+    @_on_instance_device
     def solve(
         self,
         k: int,
@@ -585,6 +641,7 @@ class MAC:
         x = jnp.where(take_all, all_ones, x)
         return rounded, x, u, it
 
+    @_on_instance_device
     def solve_sweep(
         self,
         ks,
