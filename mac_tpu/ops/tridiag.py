@@ -166,12 +166,43 @@ def tridiag_solve(d: jax.Array, e: jax.Array, B: jax.Array) -> jax.Array:
     return tridiag_solve_factored(tridiag_ldl(d, e), B)
 
 
+@jax.custom_batching.custom_vmap
+def _fused_solve_whole(dp: jax.Array, l: jax.Array, B: jax.Array) -> jax.Array:
+    from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
+
+    return tridiag_solve_fused(dp, l, B)
+
+
+@jax.custom_batching.custom_vmap
+def _fused_solve_blocked(dp: jax.Array, l: jax.Array, B: jax.Array) -> jax.Array:
+    from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused_blocked
+
+    return tridiag_solve_fused_blocked(dp, l, B, block=1024)
+
+
+def _scan_solve_batch_rule(axis_size, in_batched, dp, l, B):
+    """Batched (vmapped) fused solves fall back to the associative-scan
+    path: Mosaic cannot lower the Pallas kernel under vmap's loop batching
+    ('failed to legalize func.return', observed when solve_sweep vmapped
+    the banded preconditioner), and the scan path vmaps natively."""
+    bd, bl, bB = in_batched
+    fn = lambda d_, l_, B_: tridiag_solve_factored(TridiagFactor(d_, l_), B_)
+    out = jax.vmap(fn, in_axes=(0 if bd else None, 0 if bl else None,
+                                0 if bB else None))(dp, l, B)
+    return out, True
+
+
+_fused_solve_whole.def_vmap(_scan_solve_batch_rule)
+_fused_solve_blocked.def_vmap(_scan_solve_batch_rule)
+
+
 def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
     """Backend-dispatched solve: the fused Pallas kernel on TPU (one kernel
     instead of ~30 scan stages — this sits in the eigensolver's innermost
     loop), the associative-scan path elsewhere. float64 blocks (automatic
     precision escalation) stay on the scan path: TPU XLA cannot rewrite
-    x64 types through a Pallas custom call."""
+    x64 types through a Pallas custom call. Under vmap (budget sweeps) the
+    kernels fall back to the scan path via a custom_vmap rule."""
     # Narrow blocks only: the kernel holds the whole (q_pad, n_pad) block in
     # VMEM, which is right for eigensolver blocks (q <= ~16) but OOMs for
     # the wide multi-RHS chunks of GreedyESP's batched solves.
@@ -182,19 +213,13 @@ def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
     ):
         n, q = B.shape
         if n <= TRIDIAG_SCAN_MAX_N:
-            from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused
-
-            return tridiag_solve_fused(
+            return _fused_solve_whole(
                 f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
         # Beyond the whole-row kernel's VMEM budget (measured OOM at
         # n = 1e5): segment-decoupled variant, valid because factors at
         # this size come from tridiag_ldl_blocked (zero boundary
         # couplings; 1024 is a multiple of every block size used).
         if (-(-q // 8) * 8) * (-(-n // 1024) * 1024) * 4 * 6 <= 12 * 2**20:
-            from mac_tpu.ops.pallas.tridiag_kernel import (
-                tridiag_solve_fused_blocked,
-            )
-
-            return tridiag_solve_fused_blocked(
-                f.dp.astype(B.dtype), f.l.astype(B.dtype), B, block=1024)
+            return _fused_solve_blocked(
+                f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
     return tridiag_solve_factored(f, B)

@@ -669,6 +669,12 @@ class MAC:
         over budgets; R must be divisible by the axis size) while the
         'graph' axis continues to shard the Laplacian products inside each
         lane's eigensolver.
+
+        Note: under vmap the fused tridiagonal Pallas kernel falls back to
+        the associative-scan solve (Mosaic cannot lower the kernel under
+        loop batching), so per-lane solves are slower than `solve`; the
+        win is lane parallelism across budgets/devices, not single-lane
+        latency.
         """
         ks = np.asarray(ks, dtype=np.int64)
         m = len(self.weights)
