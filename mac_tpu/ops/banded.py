@@ -23,21 +23,20 @@ scales the rounding to the *local variation* |V - c_b| — the same
 backward-stability the ELL difference form achieves (verified ~6e-7
 against an f64 oracle, identical to ELL f32).
 
-Assembly avoids device scatters (measured ~0.33 us per scattered element —
-a 27 ms disaster per weight update): a static slot -> edge-id gather table
-maps the off-diagonal band slots to edge ids (sentinel m elsewhere), so
+Assembly avoids device scatters AND large gathers (0.33 us/element
+scattered, ~0.4-7 ns/element gathered — either way milliseconds per weight
+update at BD's 26M slots): the band data accumulates into a pre-SHEARED
+layout with a handful of iota-compare broadcasts, every block diagonal is
+then a contiguous column slice, lower diagonals follow by symmetry, and
+the degree diagonal is one reduction — ~3 ms per Frank-Wolfe weight
+update (see assemble_bd).
 
-    BD_offdiag = -w_pad[slot_tbl]        (one big gather)
-    diag       = -(row sums)             (one reduction)
-
-runs in a few hundred microseconds per Frank-Wolfe weight update.
-
-The companion preconditioner is a symmetric two-level cycle:
-block-Jacobi smoothing (exact 128x128 diagonal-block solves — these blocks
-contain *all* intra-block edges, a strictly stronger smoother than the
-RCM band-1 tridiagonal part) plus a dense coarse-grid correction over
-contiguous aggregates (restriction = reshape-sum, prolongation = repeat,
-coarse operator assembled scatter-free as R^T (L R) via one banded apply).
+The companion preconditioner is a symmetric two-level cycle: exact
+odometry-chain tridiagonal smoothing applied through the RCM permutation
+(the measured-essential strong smoother; a block-Jacobi variant exists as
+an option) plus a dense coarse-grid correction over original-order
+(trajectory-contiguous) aggregates, the coarse operator assembled
+scatter-free as R^T (L R) via one banded apply (see make_banded_precond).
 
 Reference role: this replaces the sparse-direct inner solves of the
 reference's TRACEMIN (mac/utils/cholesky.py:220-238, SuperLU at

@@ -30,12 +30,19 @@ reference semantics) or lazily with a max-heap and per-candidate stale
 columns (the reference's lazy-greedy submodularity argument,
 greedy_esp.py:183-268, without any factor updates).
 
-Solve path: when the fixed graph is exactly its own tridiagonal part (a
-pose-graph odometry chain — true for every bundled dataset), Z comes from
-a DIRECT parallel tridiagonal solve (mac_tpu.ops.tridiag), no CG at all;
-otherwise batched preconditioned CG to `cg_tol`. Right-hand sides are
-synthesized on device (one-hot differences), so no (n, chunk) host arrays
-cross the interconnect.
+Solve path: when the fixed graph is a pose-graph odometry chain covering
+every position (true for every bundled dataset), Gram entries come from
+the CLOSED-FORM path-overlap identity on cumulative resistances
+(_chain_rcum) — no linear solves and no Z at all, O(n) memory. Otherwise
+Z is produced by batched solves: a direct parallel tridiagonal solve when
+the fixed graph equals its tridiagonal part, else preconditioned CG to
+`cg_tol`; right-hand sides are synthesized on device (one-hot
+differences), so no (n, chunk) host arrays cross the interconnect.
+
+Selection path: above SCAN_MIN_WORK candidate*budget entries the greedy
+runs as ONE jitted `lax.scan` on the accelerator (one (k,)@(k, m) MXU
+product per selection — see _select_scan_device); below it, the native
+C++ lazy-greedy core, then a pure-numpy loop as last resort.
 
 Numerically exact up to the solve tolerance: Woodbury is an identity; the
 direct solves are exact, CG solves run to 1e-10 relative residual. For

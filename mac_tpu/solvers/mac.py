@@ -526,6 +526,15 @@ class MAC:
         k >= m shortcut and the optional fallback-to-init check (implemented
         correctly, unlike reference mac.py:218).
 
+        On the float32 path `upper_bound` is a RIGOROUS float64 certificate
+        of the true optimum (final-iterate Rayleigh-quotient linearization
+        maximized over the feasible set — valid regardless of eigensolver
+        accuracy). Note that `evaluate_objective` returns an upper-biased
+        estimate of lambda_2(L(x)) (a Rayleigh quotient of an approximate
+        eigenvector), so within ~1e-5 relative of convergence it can land
+        marginally ABOVE `upper_bound`; the certificate still holds for
+        the true objective values.
+
         profile_dir: when set, the solve runs under a `jax.profiler.trace`
         writing a TensorBoard-compatible device trace there (the
         observability surface the reference lacks — SURVEY.md §5; it has
@@ -605,6 +614,26 @@ class MAC:
         rounded = np.asarray(rounded)
         unrounded = np.asarray(x)
         upper = float(u)
+        if self.dtype == jnp.float32:
+            # The in-loop dual bound min_i (f_i + g_i.(s_i - x_i)) carries
+            # the float32 eigenvalue noise of f_i (~1e-4 relative) and can
+            # land BELOW the f64-refined objective — theoretically
+            # impossible and confusing downstream. Replace it with a
+            # RIGOROUS final-iterate certificate computed on the host in
+            # float64: f(x) via the exact edge-sum Rayleigh quotient plus
+            # the supergradient linearization maximized over the feasible
+            # set (top-k of the positive gradient entries).
+            v = np.asarray(X[:, 0], dtype=np.float64)
+            f64 = self._refine_lambda(unrounded, v)
+            d = v[self._int_idx[len(self.fixed_idx):, 0]] \
+                - v[self._int_idx[len(self.fixed_idx):, 1]]
+            vn = v - v.mean()
+            grad64 = np.asarray(self.weights, np.float64) * d * d \
+                / (vn @ vn)
+            s = np.zeros(m)
+            top = np.argpartition(grad64, -k)[-k:]
+            s[top[grad64[top] > 0]] = 1.0
+            upper = float(f64 + grad64 @ (s - unrounded))
         if return_rounding_time:
             return rounded, unrounded, upper, rounding_time
         return rounded, unrounded, upper
