@@ -450,6 +450,9 @@ class MAC:
 
         def problem(x, state):
             X, fiters, step = state
+            # (A full-budget LAST step was tried and reverted: measured
+            # identical objective at +15 outer iterations — the final x is
+            # shaped by the whole trajectory, not the last gradient.)
             mi = jnp.where(step == 0, self.fiedler_maxiter, warm_cap)
             f, grad, Xres, iters = self._problem_impl(params, x, X, maxiter=mi)
             Xnew = Xres if use_cache else X0
