@@ -193,3 +193,34 @@ def test_esp_device_scan_matches_host_selection():
     host_set = set(np.flatnonzero(res_host))
     # Same selected SET (order can differ only at exact ties; none here).
     assert set(int(p) for p in order_scan) == host_set
+
+
+def test_esp_device_scan_z_path_matches_host():
+    """Non-chain fixed graphs route through Z (batched solves) with
+    on-demand Gram entries; the device scan must agree with the host
+    selection there too."""
+    import numpy as np
+    from mac_tpu.solvers.greedy_esp import GreedyESP
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(9)
+    n = 700
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    fixed.append(Edge(0, 5, 1.3))  # breaks the pure-chain property
+    cands, seen = [], set()
+    while len(cands) < 2100:
+        i, j = sorted(rng.randint(0, n, 2))
+        if j - i > 1 and (i, j) not in seen and (i, j) != (0, 5):
+            seen.add((i, j))
+            cands.append(Edge(int(i), int(j), 0.5 + rng.rand()))
+    k = 960  # m * k >= SCAN_MIN_WORK
+
+    esp = GreedyESP(fixed, cands, n)
+    assert not esp._fixed_is_chain
+    order_scan = esp._select_scan_device(k)
+    assert order_scan is not None
+
+    esp2 = GreedyESP(fixed, cands, n)
+    esp2.SCAN_MIN_WORK = 10**18
+    res_host, _, _ = esp2.subset_lazy(k)
+    assert set(int(p) for p in order_scan) == set(np.flatnonzero(res_host))
