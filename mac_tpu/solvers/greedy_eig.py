@@ -97,10 +97,14 @@ class GreedyEig:
             bounds = lam + grad[unsel]
             order = unsel[np.argsort(-bounds)]
             best_l2 = 0.0
-            evals = []  # (candidate index, lambda2, X block)
+            evals = []  # (candidate index, lambda2)
+            blocks = {}  # X blocks kept ONLY for the current tie group
             for s in range(0, len(order), self.chunk):
                 cand = order[s : s + self.chunk]
-                if lam + grad[cand].max() < best_l2:
+                # Prune strictly below the tie window (best - tol): a
+                # pruned candidate must not be able to join the tie group,
+                # or the lowest-index tie-break below would miss it.
+                if lam + grad[cand].max() < best_l2 - tol:
                     break
                 xs = np.repeat(solution[None, :], len(cand), axis=0)
                 xs[np.arange(len(cand)), cand] = 1.0
@@ -108,19 +112,24 @@ class GreedyEig:
                 lams = np.asarray(lams)
                 best_l2 = max(best_l2, float(lams.max()))
                 for t in range(len(cand)):
-                    evals.append((int(cand[t]), float(lams[t]), Xs[t]))
+                    evals.append((int(cand[t]), float(lams[t])))
+                    if float(lams[t]) >= best_l2 - tol:
+                        blocks[int(cand[t])] = Xs[t]
+                # Drop blocks that fell out of the tie group as best rose
+                # (keeps device memory at O(tie group), not O(evaluated)).
+                for idx in [i for i in blocks
+                            if dict(evals)[i] < best_l2 - tol]:
+                    del blocks[idx]
             # Winner: the LOWEST candidate index within tol of the best —
             # the reference's index-order scan with its 1e-8 improvement
             # threshold keeps exactly the first member of the tie group
             # (reference greedy_eig.py:140-144); chunks here are visited
             # best-bound-first, so the rule is applied after collection
-            # rather than during the scan. Candidates pruned by the
-            # supergradient bound satisfy lam <= bound < best_l2 - and
-            # cannot be in the tie group.
+            # rather than during the scan.
             best_idx, best_X = -1, None
-            for idx, l2, Xc in sorted(evals, key=lambda r: r[0]):
+            for idx, l2 in sorted(evals):
                 if l2 >= best_l2 - tol:
-                    best_idx, best_l2, best_X = idx, l2, Xc
+                    best_idx, best_l2, best_X = idx, l2, blocks[idx]
                     break
             assert best_idx != -1, "no improving edge found"
             solution[best_idx] = 1.0

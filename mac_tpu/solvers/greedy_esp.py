@@ -167,7 +167,14 @@ class GreedyESP:
         if op is None:
             op, w = self._op_fixed, self._w_fixed
         d, e = lap_tridiagonal_part(op, w)
-        if direct:
+        from mac_tpu.ops.tridiag import TRIDIAG_SCAN_MAX_N
+
+        if direct and self.num_nodes <= TRIDIAG_SCAN_MAX_N:
+            # Exact factorization regime only: beyond TRIDIAG_SCAN_MAX_N
+            # tridiag_ldl_auto silently returns the segment-decoupled
+            # APPROXIMATE factor (preconditioner-grade), which must not be
+            # treated as a direct solve — fall through to CG below, where
+            # the factor is exactly what a preconditioner should be.
             fac = tridiag_ldl_auto(d[1:], e[1:])
             sol = tridiag_solve_factored_fast(fac, B[1:, :])
             return jnp.concatenate(
@@ -261,13 +268,19 @@ class GreedyESP:
 
     def _augmented_operator(self, selected=None):
         """(op, w) for L_S = L_fixed + selected candidate edges (host build;
-        diagnostic surface, not the hot path)."""
+        diagnostic surface, not the hot path).
+
+        `selected` semantics by dtype (unambiguous): boolean or FLOAT
+        arrays are 0/1 selection masks over all m candidates (floats
+        because solver outputs are float masks); INTEGER arrays are
+        candidate indices. (A value-based {0,1} heuristic was ambiguous:
+        np.array([0, 1]) on a 2-candidate instance could mean either.)"""
         if selected is None or len(np.atleast_1d(selected)) == 0:
             return self._op_fixed, self._w_fixed
         sel = np.asarray(selected)
-        if sel.dtype == bool or (sel.ndim == 1 and sel.shape[0] == len(self.edge_weights)
-                                 and set(np.unique(sel)).issubset({0, 1})
-                                 and sel.max(initial=0) <= 1):
+        if sel.dtype == bool or np.issubdtype(sel.dtype, np.floating):
+            assert sel.shape[0] == len(self.edge_weights), (
+                "mask-valued `selected` must cover all candidates")
             sel_idx = np.flatnonzero(sel)
         else:
             sel_idx = sel.astype(np.int64)
