@@ -78,36 +78,55 @@ def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
         lnorm_full = 2.0 * float(
             weight_graph_lap_from_edges(idx, w_full, n).diagonal().max()
         )
-        lam2 = None
-        if n <= 50000:
-            # Shift-invert Lanczos: the factorization dominates but is
-            # near-linear on chain-dominated pose graphs; tol=1e-3 and
-            # maxiter=300 are ample for a threshold decision (ratio gap is
-            # ~10x in the measured escalation cases: kitti_02 3.8e-7,
-            # ais2klinik 1.1e-8 vs the 1.2e-5 threshold).
-            try:
-                lam2 = float(np.sort(spla.eigsh(
-                    L, k=2, sigma=-1e-8 * max(lnorm_full, 1.0), which="LM",
-                    return_eigenvectors=False, maxiter=300, tol=1e-3,
-                ))[-1])
-            except spla.ArpackNoConvergence as e:
-                vals = np.sort(np.asarray(e.eigenvalues).ravel())
-                lam2 = float(vals[-1]) if vals.size >= 2 else None
-        if lam2 is None:
-            # Large n (shift-invert fill is unbounded with long-range
-            # edges) or ARPACK failure: factorization-free LOBPCG with a
-            # Jacobi preconditioner — order-of-magnitude accuracy is all
-            # the threshold decision needs.
-            rng = np.random.RandomState(7)
-            X0 = rng.normal(size=(n, 3))
-            X0 -= X0.mean(axis=0, keepdims=True)
-            dinv = 1.0 / np.maximum(L.diagonal(), 1e-300)
-            import scipy.sparse as _sp
+        # Stage 1 (always, ~1 s even at n=1e5): factorization-free LOBPCG
+        # with a Jacobi preconditioner, then a CERTIFIED lower bound via the
+        # Weinstein residual interval: some eigenvalue lies within ||r|| of
+        # the Ritz value theta, and the search space is deflated against
+        # the constant mode, so lambda_2 >= theta - ||r||. If even the
+        # certified lower bound clears the float32 threshold, no exact
+        # solve is needed — this is what keeps the probe cheap on large
+        # graphs, where shift-invert's factorization fill is unbounded
+        # (measured 131 s at n=3e4 with random long-range loop closures).
+        import scipy.sparse as _sp
+        import warnings
 
-            vals, _ = spla.lobpcg(
+        rng = np.random.RandomState(7)
+        X0 = rng.normal(size=(n, 3))
+        X0 -= X0.mean(axis=0, keepdims=True)
+        dinv = 1.0 / np.maximum(L.diagonal(), 1e-300)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            vals, vecs = spla.lobpcg(
                 L, X0, M=_sp.diags(dinv), Y=np.ones((n, 1)),
-                tol=1e-3 * max(lnorm_full, 1.0), maxiter=100, largest=False)
-            lam2 = float(np.min(vals))
+                tol=1e-6 * max(lnorm_full, 1.0), maxiter=100, largest=False)
+        j = int(np.argmin(vals))
+        theta = float(vals[j])
+        v = vecs[:, j]
+        v = v - v.mean()
+        v /= max(np.linalg.norm(v), 1e-300)
+        resid = float(np.linalg.norm(L @ v - theta * v))
+        certified_ratio = (theta - resid) / max(lnorm_full, 1e-300)
+        if certified_ratio >= F32_SPECTRAL_RATIO_MIN:
+            return jnp.float32, certified_ratio
+
+        # Stage 2: uncertified. Small graphs get the precise shift-invert
+        # Lanczos decision (tol=1e-3/maxiter=300 — ample: the measured
+        # escalation cases sit ~10x under the threshold: kitti_02 3.8e-7,
+        # ais2klinik 1.1e-8 vs 1.2e-5); large uncertified graphs escalate
+        # to float64 conservatively — at that scale a ratio too small to
+        # certify is also too small to trust float32 with.
+        if n > 50000:
+            return jnp.float64, certified_ratio
+        try:
+            lam2 = float(np.sort(spla.eigsh(
+                L, k=2, sigma=-1e-8 * max(lnorm_full, 1.0), which="LM",
+                return_eigenvectors=False, maxiter=300, tol=1e-3,
+            ))[-1])
+        except spla.ArpackNoConvergence as e:
+            evals = np.sort(np.asarray(e.eigenvalues).ravel())
+            if evals.size < 2:
+                return jnp.float64, certified_ratio  # conservative
+            lam2 = float(evals[-1])
         ratio = lam2 / max(lnorm_full, np.finfo(np.float64).tiny)
         dtype = jnp.float64 if ratio < F32_SPECTRAL_RATIO_MIN else jnp.float32
         return dtype, ratio
