@@ -78,6 +78,17 @@ def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
         lnorm_full = 2.0 * float(
             weight_graph_lap_from_edges(idx, w_full, n).diagonal().max()
         )
+        if n <= 256:
+            # Tiny graphs: exact dense eigh beats any iterative probe
+            # (scipy's lobpcg also rejects blocksize ~ n).
+            import scipy.linalg as sla
+
+            evals = np.sort(sla.eigh(L.toarray(), eigvals_only=True))
+            ratio = float(evals[1]) / max(lnorm_full, 1e-300)
+            dtype = (jnp.float64 if ratio < F32_SPECTRAL_RATIO_MIN
+                     else jnp.float32)
+            return dtype, ratio
+
         # Stage 1 (always, ~1 s even at n=1e5): factorization-free LOBPCG
         # with a Jacobi preconditioner, then a CERTIFIED lower bound via the
         # Weinstein residual interval: some eigenvalue lies within ||r|| of
