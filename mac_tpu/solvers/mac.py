@@ -694,15 +694,25 @@ class MAC:
     def _fw_dynamic_impl(self, params, x0, X0, k, *, maxiter,
                          relative_duality_gap_tol, grad_norm_tol,
                          rounding: str, seed_key):
-        """One dynamic-k solve (k traced): used under vmap by solve_sweep."""
-        def problem(x, X):
-            f, grad, Xnew, _ = self._problem_impl(params, x, X)
-            return f, grad, Xnew
+        """One dynamic-k solve (k traced): used under vmap by solve_sweep.
+
+        The warm-step eigensolver cap matters doubly here: under vmap the
+        eigensolver while_loop runs to the SLOWEST lane, so one stalled
+        lane without the cap costs every lane the full outer budget."""
+        warm_cap = self.fiedler_warm_maxiter
+        if warm_cap is None:
+            warm_cap = self.fiedler_maxiter
+
+        def problem(x, state):
+            X, step = state
+            mi = jnp.where(step == 0, self.fiedler_maxiter, warm_cap)
+            f, grad, Xnew, _ = self._problem_impl(params, x, X, maxiter=mi)
+            return f, grad, (Xnew, step + 1)
 
         solve_lp = lambda g: constraints.solve_subset_box_lp_dynamic(g, k)
-        x, u, X, it = frank_wolfe_with_state(
+        x, u, (X, _), it = frank_wolfe_with_state(
             x0,
-            X0,
+            (X0, jnp.asarray(0, jnp.int32)),
             problem,
             solve_lp,
             maxiter=maxiter,
