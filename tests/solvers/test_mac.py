@@ -228,3 +228,27 @@ def test_automatic_solver_policy_resolution():
                    fiedler_inner_iters=12, fiedler_tol=1e-5)
     assert mac_user.fiedler_inner_iters == 12
     assert mac_user.fiedler_tol == 1e-5
+
+
+def test_precision_probe_certified_path_and_fallbacks():
+    """The staged probe: a healthy mid-size graph certifies float32 via the
+    LOBPCG Weinstein bound (no shift-invert factorization — the old
+    eigsh-first probe cost 131 s on random-loop graphs at n=3e4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mac_tpu.solvers.mac import choose_compute_dtype
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    fixed_idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    w_fixed = 0.5 + rng.rand(n - 1)
+    lo = rng.randint(0, n - 10, 3000)
+    hi = lo + 2 + rng.randint(0, n // 4, 3000)
+    keep = hi < n
+    cand_idx = np.stack([lo[keep], hi[keep]], 1)[:2000].astype(np.int32)
+    w_cand = 0.5 + rng.rand(len(cand_idx))
+    dt, ratio = choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, n)
+    assert dt == jnp.float32
+    # The certified lower bound must clear the threshold with real margin
+    # on a well-connected graph.
+    assert ratio is not None and ratio > 1.2e-5
