@@ -79,24 +79,42 @@ def main():
         fixed_idx, w_fixed, cand_idx, w_cand = synthetic(n)
         k = len(w_cand) // 4
         print(f"=== n={n} m_cand={len(w_cand)} k={k} ===", flush=True)
-        if ref_only:
+        rec = dict(n=n, m_cand=len(w_cand), k=k)
+        if not ref_only:
+            ours = run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
+            print(json.dumps(dict(n=n, **ours)), flush=True)
+            rec.update(tpu_warm_s=ours["warm_s"],
+                       tpu_lam2=ours["lam2_unrounded"])
+        if not ours_only:
             ref = run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
             print(json.dumps(dict(n=n, **ref)), flush=True)
-            continue
-        ours = run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
-        print(json.dumps(dict(n=n, **ours)), flush=True)
-        if ours_only:
-            continue
-        ref = run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
-        print(json.dumps(dict(n=n, **ref)), flush=True)
-        speedup = ref["solve_s"] / ours["warm_s"]
-        qual = (ours["lam2_unrounded"] - ref["lam2_unrounded"]) / ref["lam2_unrounded"]
-        rec = dict(n=n, m_cand=len(w_cand), k=k, tpu_warm_s=ours["warm_s"],
-                   ref_s=ref["solve_s"], speedup=round(speedup, 2),
-                   quality_gap_rel=qual)
+            rec.update(ref_s=ref["solve_s"], ref_lam2=ref["lam2_unrounded"])
+        if not ref_only and not ours_only:
+            rec["speedup"] = round(ref["solve_s"] / ours["warm_s"], 2)
+            rec["quality_gap_rel"] = (
+                (ours["lam2_unrounded"] - ref["lam2_unrounded"])
+                / ref["lam2_unrounded"])
         print(json.dumps(rec), flush=True)
         out.append(rec)
-    (REPO / "scripts" / "bench_scale_results.json").write_text(json.dumps(out, indent=2))
+    # MERGE into the existing record (single-sided runs fill their half):
+    # a plain overwrite erased previously measured points.
+    path = REPO / "scripts" / "bench_scale_results.json"
+    try:
+        prev = {r["n"]: r for r in json.loads(path.read_text())}
+    except Exception:
+        prev = {}
+    for rec in out:
+        merged = prev.get(rec["n"], {})
+        merged.update(rec)
+        if "ref_s" in merged and "tpu_warm_s" in merged:
+            merged["speedup"] = round(merged["ref_s"] / merged["tpu_warm_s"], 2)
+            if "ref_lam2" in merged and "tpu_lam2" in merged:
+                merged["quality_gap_rel"] = (
+                    (merged["tpu_lam2"] - merged["ref_lam2"])
+                    / merged["ref_lam2"])
+        prev[rec["n"]] = merged
+    path.write_text(json.dumps(
+        [prev[nn] for nn in sorted(prev)], indent=2))
     print("wrote scripts/bench_scale_results.json", flush=True)
 
 
