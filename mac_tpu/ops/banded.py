@@ -44,11 +44,21 @@ mac/utils/fiedler.py:42) with an MXU-native operator + preconditioner pair.
 """
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class BDRep(NamedTuple):
+    """Assembled weight-dependent operator data (see assemble_bd): the
+    upper block diagonals and the degree vector — the lower diagonals are
+    implied by symmetry and consumed via transposed contractions."""
+
+    up: jax.Array   # (half+1, nb, BS, BS): up[t][b] = L[block b, block b+t]
+                    # (t=0 holds the STRICT upper triangle of the diagonal)
+    deg: jax.Array  # (nb, BS) weighted degrees (the diagonal of L)
 
 BS = 128  # MXU-aligned node-block size
 
@@ -239,7 +249,8 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
 
 
 def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
-    """BD(w): (ndiag, nb, BS, BS) block diagonals of L(w).
+    """Assemble BD(w): the UPPER block diagonals of L(w) + the degree
+    vector — a BDRep(up (half+1, nb, BS, BS), deg (nb, BS)).
 
     Scatter- and gather-light: the SHEARED band matrix
 
@@ -250,55 +261,54 @@ def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
     column targets). Every upper block diagonal is then a contiguous
     column slice,
 
-        BD[half+t][b, r, c] = Sh[b*BS + r, BS*(t+1) + c],
+        up[t][b, r, c] = Sh[b*BS + r, BS*(t+1) + c]  = L[i, (b+t)*BS + c],
 
-    lower diagonals follow by symmetry (BD[half-t][b] = BD[half+t][b-t]^T),
-    and the diagonal = weighted degrees = -(row sums). Measured on
-    city10000: ~3 ms per weight update, vs 19 ms gathering a compact
-    (n_pad, half*BS) band table and 46.7 ms gathering BD's slots directly
-    (TPU gathers run ~0.14-0.5 element/ns — output-size bound)."""
+    and the degrees = -(row + column sums of the uppers). The LOWER
+    diagonals are never materialized — banded_apply consumes them via
+    transposed einsum contractions (symmetry), which cuts both assembly
+    work and ~40% of the apply's memory traffic. Measured assembly on
+    city10000: ~2 ms per weight update, vs 19 ms gathering a compact
+    (n_pad, half*BS) band table and 46.7 ms gathering all block slots
+    directly (TPU gathers run ~0.14-0.5 element/ns — output-size bound)."""
     dtype = w.dtype
     n_pad, half, nb = bop.n_pad, bop.half, bop.nb
     W = BS * (half + 2)
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
-    # Sheared band rows Sh[i, BS + d + (i % BS)] = -w of edge (i, i+d),
-    # accumulated with du iota-compare broadcasts — the measured-fast form
-    # (the shear itself is folded into the static column targets; the only
-    # gather left is the tiny (n_pad, du) weight lookup).
     wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, W), 1)
     Sh = jnp.zeros((n_pad, W), dtype)
     for kslot in range(bop.ueid_tbl.shape[1]):
         Sh = Sh + wu[:, kslot:kslot + 1] * (
             cols == bop.dcol_tbl[:, kslot:kslot + 1])
-    up = [Sh[:, BS * (t + 1): BS * (t + 2)].reshape(nb, BS, BS)
-          for t in range(half + 1)]
-    diags = {half: up[0] + jnp.swapaxes(up[0], 1, 2)}
-    zblk = jnp.zeros((1, BS, BS), dtype)
+    up = jnp.stack(
+        [Sh[:, BS * (t + 1): BS * (t + 2)].reshape(nb, BS, BS)
+         for t in range(half + 1)], axis=0)
+    # deg_i = -(row sums + column sums over the uppers); the column-sum
+    # contribution of up[t] lands t blocks BELOW (lower-diagonal symmetry).
+    rowsum = jnp.sum(up, axis=3)          # (half+1, nb, BS)
+    colsum = jnp.sum(up, axis=2)          # (half+1, nb, BS)
+    deg = -rowsum[0] - colsum[0]
     for t in range(1, half + 1):
-        diags[half + t] = up[t]
-        low = jnp.swapaxes(up[t], 1, 2)[: nb - t]
-        diags[half - t] = jnp.concatenate(
-            [jnp.broadcast_to(zblk, (t, BS, BS)), low], axis=0)
-    BD = jnp.stack([diags[o] for o in range(2 * half + 1)], axis=0)
-    # Diagonal = weighted degree = -(off-diagonal row sums).
-    deg = -jnp.sum(BD, axis=(0, 3))  # (nb, BS)
-    eye = jnp.eye(BS, dtype=dtype)
-    BD = BD.at[half].add(deg[:, :, None] * eye[None, :, :])
-    return BD
+        deg = deg - rowsum[t]
+        deg = deg - jnp.concatenate(
+            [jnp.zeros((t, BS), dtype), colsum[t][: nb - t]], axis=0)
+    return BDRep(up=up, deg=deg)
 
 
-def banded_apply(bop: BandedOperator, BD: jax.Array, V: jax.Array,
+def banded_apply(bop: BandedOperator, BD, V: jax.Array,
                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """L(w) @ V for V of shape (n, q) (returns (n, q)).
 
     precision=HIGHEST reproduces exact f32 semantics (3-pass MXU); pass
     DEFAULT (single bf16 pass) for preconditioner-internal residuals where
-    ~1e-3 operator error is harmless and ~3x cheaper.
+    ~1e-3 operator error is harmless and ~3x cheaper. Lower block
+    diagonals are applied as transposed contractions of the stored uppers
+    (the MXU contracts either operand side at equal cost).
     """
     n, q = V.shape
     nb, half, ndiag = bop.nb, bop.half, bop.ndiag
     n_pad = bop.n_pad
+    up, deg = BD.up, BD.deg
     if n_pad != n:
         V = jnp.concatenate(
             [V, jnp.zeros((n_pad - n, q), V.dtype)], axis=0)
@@ -308,10 +318,23 @@ def banded_apply(bop: BandedOperator, BD: jax.Array, V: jax.Array,
     # Laplacian rows sum to zero within the window; see module docstring).
     win = jnp.stack([Vp[o:o + nb] for o in range(ndiag)], 0)
     cb = jnp.mean(win, axis=(0, 2))[:, None, :]
-    out = jnp.zeros_like(Vb)
-    for o in range(ndiag):
+    # Diagonal degrees + strict-upper of the diagonal block (direct and
+    # transposed) + off block diagonals (direct up[t] at +t, transposed
+    # up[t] shifted down t blocks at -t).
+    Vc0 = Vp[half: half + nb] - cb
+    out = deg[:, :, None] * Vc0
+    out = out + jnp.einsum("brc,bcq->brq", up[0], Vc0,
+                           preferred_element_type=V.dtype, precision=precision)
+    out = out + jnp.einsum("bcr,bcq->brq", up[0], Vc0,
+                           preferred_element_type=V.dtype, precision=precision)
+    for t in range(1, half + 1):
         out = out + jnp.einsum(
-            "brc,bcq->brq", BD[o], Vp[o:o + nb] - cb,
+            "brc,bcq->brq", up[t], Vp[half + t: half + t + nb] - cb,
+            preferred_element_type=V.dtype, precision=precision)
+        upsh = jnp.concatenate(
+            [jnp.zeros((t, BS, BS), up.dtype), up[t][: nb - t]], axis=0)
+        out = out + jnp.einsum(
+            "bcr,bcq->brq", upsh, Vp[half - t: half - t + nb] - cb,
             preferred_element_type=V.dtype, precision=precision)
     return out.reshape(n_pad, q)[:n]
 
@@ -339,7 +362,7 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
 
     Rebuild per weight vector; returns a pure (n, q) -> (n, q) function.
     """
-    dtype = BD.dtype
+    dtype = BD.up.dtype
     nb, half, s, nc = bop.nb, bop.half, bop.coarse_s, bop.coarse_nc
     n, n_pad = bop.n, bop.n_pad
     eps = jnp.finfo(dtype).eps
@@ -352,7 +375,7 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         # degrees (gathered through the permutation), off-diagonal = chain
         # edge weights (gather via the static chain_eid table — scatters are
         # ~0.33us/element on this stack, gathers are cheap).
-        deg_rcm = jnp.einsum("bii->bi", BD[half]).reshape(n_pad)[:n]
+        deg_rcm = BD.deg.reshape(n_pad)[:n]
         d_nat = deg_rcm[bop.iperm]
         w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
         e_nat = -w_pad[bop.chain_eid][: max(n - 1, 1)].astype(dtype)
@@ -373,7 +396,9 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
             return Xn[bop.perm]
     else:
         # --- block-Jacobi: batched Cholesky inverses of the diagonal blocks.
-        Dblk = BD[half]
+        eyeD = jnp.eye(BS, dtype=dtype)
+        Dblk = (BD.up[0] + jnp.swapaxes(BD.up[0], 1, 2)
+                + BD.deg[:, :, None] * eyeD[None])
         reg = 100 * eps * jnp.max(jnp.abs(Dblk))
         Dreg = Dblk + reg * jnp.eye(BS, dtype=dtype)[None]
         Rchol = jax.vmap(lambda A: jnp.linalg.cholesky(A, upper=True))(Dreg)

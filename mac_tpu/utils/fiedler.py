@@ -127,7 +127,7 @@ def fiedler_pair_op(
     if BD is not None:
         # ||L||_inf = 2 max degree, read off BD's diagonal — the ELL-table
         # route costs a ~1 ms (n, dmax) gather per weight update.
-        lnorm = 2.0 * jnp.max(jnp.einsum("bii->bi", BD[banded.half]))
+        lnorm = 2.0 * jnp.max(BD.deg)
     else:
         lnorm = lap_inf_norm(op, w)
     c = lnorm

@@ -63,18 +63,26 @@ def test_assemble_matches_dense_blocks():
     ridx = inv[idx]
     bop = build_banded(ridx, n, dtype=jnp.float64)
     assert bop is not None
-    BD = np.asarray(assemble_bd(bop, jnp.asarray(w, jnp.float64)))
+    rep = assemble_bd(bop, jnp.asarray(w, jnp.float64))
+    up = np.asarray(rep.up)
+    deg = np.asarray(rep.deg)
     L = weight_graph_lap_from_edges(ridx, w, n).toarray()
     Lp = np.zeros((bop.n_pad, bop.n_pad))
     Lp[:n, :n] = L
     half = bop.half
     for b in range(bop.nb):
-        for o in range(bop.ndiag):
-            bc = b + o - half
+        for t in range(half + 1):
+            bc = b + t
             expect = np.zeros((BS, BS))
-            if 0 <= bc < bop.nb:
-                expect = Lp[b * BS:(b + 1) * BS, bc * BS:(bc + 1) * BS]
-            np.testing.assert_allclose(BD[o, b], expect, atol=1e-12)
+            if bc < bop.nb:
+                expect = Lp[b * BS:(b + 1) * BS, bc * BS:(bc + 1) * BS].copy()
+            if t == 0:
+                # up[0] stores the STRICT upper triangle; degrees separate.
+                np.testing.assert_allclose(
+                    deg[b], np.diag(Lp[b * BS:(b + 1) * BS,
+                                       b * BS:(b + 1) * BS]), atol=1e-12)
+                expect = np.triu(expect, k=1)
+            np.testing.assert_allclose(up[t, b], expect, atol=1e-12)
 
 
 def test_banded_apply_matches_ell_f64():
