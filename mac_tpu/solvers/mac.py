@@ -391,7 +391,9 @@ class MAC:
         self._eval_many_jit = jax.jit(self._eval_many_impl)
         self._problem_jit = jax.jit(self._problem_impl)
         self._fw_jit = jax.jit(
-            self._fw_impl, static_argnames=("k", "maxiter", "use_cache", "verbose")
+            self._fw_impl,
+            static_argnames=("k", "maxiter", "use_cache", "verbose",
+                             "fuse_nearest_rounding"),
         )
 
     # ------------------------------------------------------------------ core
@@ -481,6 +483,7 @@ class MAC:
         grad_norm_tol,
         use_cache: bool,
         verbose: bool,
+        fuse_nearest_rounding: bool = False,
     ):
         # Auxiliary FW state: (eigenvector block, cumulative Fiedler
         # iterations, FW step index) — the counter is the observability
@@ -514,7 +517,16 @@ class MAC:
             grad_norm_tol=grad_norm_tol,
             verbose=verbose,
         )
-        return x, u, X, it, fiters
+        # In-graph nearest rounding: every separately dispatched program
+        # pays ~26 ms of tunnel latency, so the default rounding runs in
+        # the same compiled program as the solve.
+        if fuse_nearest_rounding:
+            w_cand = params[2]
+            rounded = round_nearest(x, k, weights=w_cand,
+                                    break_ties_decimal_tol=10)
+        else:
+            rounded = x
+        return x, u, X, it, fiters, rounded
 
     # ------------------------------------------------------------ public API
 
@@ -616,7 +628,8 @@ class MAC:
         assert x_init.shape[0] == m
 
         solve_start = timer()
-        x, u, X, it, fiters = self._fw_jit(
+        fuse_nearest = rounding == "nearest"
+        x_dev, u, X_dev, it, fiters, rounded_dev = self._fw_jit(
             self._params,
             x_init,
             self._X0,
@@ -626,8 +639,12 @@ class MAC:
             grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
             use_cache=bool(use_cache),
             verbose=bool(verbose),
+            fuse_nearest_rounding=fuse_nearest,
         )
-        x = jax.block_until_ready(x)
+        # ONE batched device->host fetch: each separate fetch through the
+        # tunnel costs milliseconds, and everything below is host math.
+        x, u, X, it, fiters, rounded_np = jax.device_get(
+            (x_dev, u, X_dev, it, fiters, rounded_dev))
         # Observability (reference has only verbose prints + wall clocks):
         # Frank-Wolfe iterations used, cumulative inner eigensolver
         # iterations, and the Frank-Wolfe wall time.
@@ -642,15 +659,14 @@ class MAC:
             key = jax.random.PRNGKey(seed)
             R = int(random_rounding_max_iters)
             if R <= 1:
-                rounded = round_madow_base(x, k, key)
+                rounded = np.asarray(round_madow_base(x_dev, k, key))
             else:
                 keys = jax.random.split(key, R)
-                xs = jax.vmap(lambda kk: round_madow_base(x, k, kk))(keys)
+                xs = jax.vmap(lambda kk: round_madow_base(x_dev, k, kk))(keys)
                 vals = self._eval_many_jit(self._params, xs, self._X0)
-                rounded = xs[int(jnp.argmax(vals))]
-        else:  # "nearest"
-            rounded = round_nearest(x, k, weights=self._w_cand, break_ties_decimal_tol=10)
-        rounded = jax.block_until_ready(rounded)
+                rounded = np.asarray(xs[int(jnp.argmax(vals))])
+        else:  # "nearest" — already computed in-graph
+            rounded = rounded_np
         rounding_time = timer() - start
 
         if fallback:
