@@ -202,6 +202,7 @@ class MAC:
         fiedler_rel_tol=None,
         fiedler_coeff_dtype=None,
         fiedler_warm_maxiter=None,
+        fiedler_block_q=None,
         mesh=None,
         use_banded=None,
     ):
@@ -264,7 +265,7 @@ class MAC:
                               min_selection_weight_tol, fiedler_maxiter,
                               fiedler_inner_iters, fiedler_rel_tol,
                               fiedler_coeff_dtype, fiedler_warm_maxiter,
-                              mesh, use_banded)
+                              fiedler_block_q, mesh, use_banded)
 
     def _device_ctx(self):
         """Context manager pinning computation to this instance's device
@@ -280,7 +281,7 @@ class MAC:
                      min_selection_weight_tol, fiedler_maxiter,
                      fiedler_inner_iters, fiedler_rel_tol,
                      fiedler_coeff_dtype, fiedler_warm_maxiter,
-                     mesh, use_banded):
+                     fiedler_block_q, mesh, use_banded):
         dtype = self.dtype
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
         self._w_cand = jnp.asarray(w_cand, dtype=dtype)
@@ -373,7 +374,7 @@ class MAC:
         self.fiedler_coeff_dtype = fiedler_coeff_dtype
         self.min_selection_weight_tol = float(min_selection_weight_tol)
 
-        self._q = min(4, n - 1)
+        self._q = min(int(fiedler_block_q or 4), n - 1)
         self._X0 = jnp.asarray(_fiedler.default_block(n, self._q), dtype=dtype)
         # Warm starting lives INSIDE the Frank-Wolfe loop (consecutive
         # iterates share a trajectory). Standalone evaluations use the

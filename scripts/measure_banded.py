@@ -30,17 +30,20 @@ def main():
         ii, mi, tol, rtol = parts[:4]
         c32 = "c32" in parts[4:]
         warm = None
+        blockq = None
         for p in parts[4:]:
             if p.startswith("w"):
                 warm = int(p[1:])
+            if p.startswith("q"):
+                blockq = int(p[1:])
         import jax.numpy as jnp
         mac = MAC(fixed, cands, n, fiedler_inner_iters=int(ii),
                   fiedler_maxiter=int(mi), fiedler_tol=float(tol),
                   fiedler_rel_tol=float(rtol), use_banded=True,
                   fiedler_coeff_dtype=jnp.float32 if c32 else None,
-                  fiedler_warm_maxiter=warm)
+                  fiedler_warm_maxiter=warm, fiedler_block_q=blockq)
         print(f"cfg inner={ii} maxiter={mi} tol={tol} rel_tol={rtol} "
-              f"coeff={'f32' if c32 else 'f64'} warm={warm} "
+              f"coeff={'f32' if c32 else 'f64'} warm={warm} q={mac._q} "
               f"banded={'ON' if mac._banded is not None else 'off'}", flush=True)
         t0 = time.perf_counter()
         mac.solve(k, x_init, rounding="nearest", max_iters=20, use_cache=True)
