@@ -19,17 +19,41 @@ mac/utils/fiedler.py:42) as the preconditioner backbone for the eigensolver
 and CG (see mac_tpu.ops.lobpcg / mac_tpu.ops.cg).
 """
 
-from typing import NamedTuple, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-class TridiagFactor(NamedTuple):
+class TridiagFactor:
     """LDL^T factor of an SPD tridiagonal matrix: T = L diag(dp) L^T with
-    unit-lower-bidiagonal L, subdiagonal l."""
-    dp: jax.Array  # (n,) pivots
-    l: jax.Array   # (n,) subdiagonal of L; l[0] = 0
+    unit-lower-bidiagonal L, subdiagonal l.
+
+    `seg` records how the factor was produced: None = exact factorization
+    (tridiag_ldl); an integer = segment-decoupled approximate factor with
+    couplings zeroed at every `seg` boundary (tridiag_ldl_blocked). Solvers
+    use it to decide which fused kernels are VALID for this factor rather
+    than inferring from n (a caller passing an exact factor at large n must
+    never be routed through a segment-decoupling kernel). `seg` is pytree
+    aux data (static), so it participates in jit cache keys, not tracing."""
+
+    __slots__ = ("dp", "l", "seg")
+
+    def __init__(self, dp: jax.Array, l: jax.Array,
+                 seg: Optional[int] = None):
+        self.dp = dp  # (n,) pivots
+        self.l = l    # (n,) subdiagonal of L; l[0] = 0
+        self.seg = seg
+
+    def __repr__(self):
+        return f"TridiagFactor(dp={self.dp!r}, l={self.l!r}, seg={self.seg})"
+
+
+jax.tree_util.register_pytree_node(
+    TridiagFactor,
+    lambda f: ((f.dp, f.l), f.seg),
+    lambda seg, children: TridiagFactor(*children, seg=seg),
+)
 
 
 def _mobius_combine(a, b):
@@ -131,7 +155,8 @@ def tridiag_ldl_blocked(d: jax.Array, e: jax.Array,
     e_eff = jnp.where((jnp.arange(1, n) % block) == 0, 0.0,
                       e.astype(jnp.float64)) if n > 1 else e.astype(jnp.float64)
     l = jnp.concatenate([jnp.zeros((1,), jnp.float64), e_eff / dp[:-1]])
-    return TridiagFactor(dp=dp.astype(out_dtype), l=l.astype(out_dtype))
+    return TridiagFactor(dp=dp.astype(out_dtype), l=l.astype(out_dtype),
+                         seg=int(block))
 
 
 # Beyond this size the associative-scan factorization's unrolled stages
@@ -216,10 +241,16 @@ def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
             return _fused_solve_whole(
                 f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
         # Beyond the whole-row kernel's VMEM budget (measured OOM at
-        # n = 1e5): segment-decoupled variant, valid because factors at
-        # this size come from tridiag_ldl_blocked (zero boundary
-        # couplings; 1024 is a multiple of every block size used).
-        if (-(-q // 8) * 8) * (-(-n // 1024) * 1024) * 4 * 6 <= 12 * 2**20:
+        # n = 1e5): segment-decoupled variant. Valid ONLY for factors that
+        # are already segment-decoupled at 1024 boundaries (f.seg recorded
+        # at factorization time divides 1024) — an exact factor must never
+        # be routed through the decoupling kernel, which would silently
+        # zero its couplings (ADVICE r2 #3).
+        if (
+            f.seg is not None
+            and 1024 % int(f.seg) == 0
+            and (-(-q // 8) * 8) * (-(-n // 1024) * 1024) * 4 * 6 <= 12 * 2**20
+        ):
             return _fused_solve_blocked(
                 f.dp.astype(B.dtype), f.l.astype(B.dtype), B)
     return tridiag_solve_factored(f, B)

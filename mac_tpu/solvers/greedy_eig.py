@@ -120,18 +120,20 @@ class GreedyEig:
                 for idx in [i for i in blocks
                             if dict(evals)[i] < best_l2 - tol]:
                     del blocks[idx]
-            # Winner: the LOWEST candidate index within tol of the best —
-            # the reference's index-order scan with its 1e-8 improvement
-            # threshold keeps exactly the first member of the tie group
-            # (reference greedy_eig.py:140-144); chunks here are visited
-            # best-bound-first, so the rule is applied after collection
-            # rather than during the scan.
-            best_idx, best_X = -1, None
+            # Winner: replay the reference's sequential index-order scan
+            # over the collected (index, lambda2) pairs — running best from
+            # 0, update iff l2 > best + 1e-8 (reference greedy_eig.py:
+            # 139-144). Chunks here are visited best-bound-first, so the
+            # replay happens after collection; candidates pruned by the
+            # chunk bound have l2 below (final best - tol) and provably
+            # cannot change the scan's last updater, so the replayed
+            # winner matches the reference exactly, chained ties included.
+            best_idx, run_best = -1, 0.0
             for idx, l2 in sorted(evals):
-                if l2 >= best_l2 - tol:
-                    best_idx, best_l2, best_X = idx, l2, blocks[idx]
-                    break
+                if l2 > run_best + tol:
+                    best_idx, run_best = idx, l2
             assert best_idx != -1, "no improving edge found"
+            best_l2, best_X = run_best, blocks[best_idx]
             solution[best_idx] = 1.0
             selected.append(
                 Edge(

@@ -198,8 +198,10 @@ def find_fiedler_pair(
     """Compute (lambda_2(L), v_2(L), X-block) from a host Laplacian.
 
     L: scipy sparse or dense (n, n) Laplacian.
-    X: optional (n, q) warm-start block (q = min(4, n-1) if None, seeded
-       deterministically like the reference).
+    X: optional (n, q) warm-start block. Any width 1 <= q < n is accepted
+       (e.g. a warm block produced by MAC with a non-default
+       `fiedler_block_q`); when None, q = min(4, n-1) columns are seeded
+       deterministically like the reference.
     method: 'tracemin' (default), 'lobpcg', 'dense', or the reference
        names 'tracemin_lu' / 'tracemin_cholesky' (mapped to 'tracemin').
     seed: optional numpy RandomState for the initial block.
@@ -207,16 +209,16 @@ def find_fiedler_pair(
     Returns (sigma_0, X[:, 0], X) — reference: fiedler.py:44.
     """
     n = L.shape[0]
-    q = min(4, n - 1)
     dtype = default_dtype()
     if X is None:
+        q = min(4, n - 1)
         if isinstance(seed, np.random.RandomState):
             X = np.asarray(seed.normal(size=(q, n))).T
         else:
             X = default_block(n, q, seed=seed)
     X = jnp.asarray(X, dtype=dtype)
     assert X.shape[0] == n
-    assert X.shape[1] == q
+    assert 1 <= X.shape[1] < max(n, 2)
 
     if method in ("tracemin_lu", "tracemin_cholesky"):
         method = "tracemin"

@@ -132,3 +132,39 @@ def test_blocked_fused_kernel_matches_scan_solve():
         block=1024, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tridiag_factor_segment_metadata():
+    """Factors record how they were produced (seg = None for exact,
+    the block size for segment-decoupled), the metadata survives pytree
+    flattening, and the fast-solve dispatcher refuses to route an exact
+    factor through the segment-decoupling kernel (ADVICE r2 #3)."""
+    import jax
+    import jax.numpy as jnp
+    from mac_tpu.ops import tridiag as td
+
+    rng = np.random.RandomState(0)
+    n = 3000
+    e = -(0.5 + rng.rand(n - 1))
+    d = 0.1 + rng.rand(n) - np.concatenate([[0], e]) - np.concatenate([e, [0]])
+    f_exact = td.tridiag_ldl(jnp.asarray(d), jnp.asarray(e))
+    f_blk = td.tridiag_ldl_blocked(jnp.asarray(d), jnp.asarray(e), block=1024)
+    assert f_exact.seg is None
+    assert f_blk.seg == 1024
+
+    leaves, treedef = jax.tree_util.tree_flatten(f_blk)
+    f_rt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert f_rt.seg == 1024
+    # seg participates in the treedef (static aux data), so jit re-traces
+    # rather than reusing a cached program for a differently-built factor.
+    _, treedef_exact = jax.tree_util.tree_flatten(f_exact)
+    assert treedef != treedef_exact
+
+    # The fast path must agree with the reference scan solve for both
+    # factor kinds (on any backend).
+    B = jnp.asarray(rng.normal(size=(n, 3)))
+    for f in (f_exact, f_blk):
+        ref = td.tridiag_solve_factored(f, B)
+        got = td.tridiag_solve_factored_fast(f, B)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
