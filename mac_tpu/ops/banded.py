@@ -69,6 +69,15 @@ MAX_BANDWIDTH = 640
 # Target coarse-grid size for the two-level preconditioner (matches the
 # round-1 two-grid default; see mac_tpu.ops.twogrid).
 COARSE_NC = 512
+# Segment length of the chain smoother's blocked LDL^T refactorization
+# (cost is CHAIN_LDL_BLOCK sequential f64 scan steps per weight update;
+# couplings dropped at segment boundaries are coarse-grid-scale structure).
+CHAIN_LDL_BLOCK = 128
+# Two-level cycle form: "mult" (symmetric V-cycle: smooth, coarse-correct
+# on the residual, smooth) or "additive" (M^-1 = S + P Lc^-1 R — see
+# make_banded_precond.precond_additive: ~2x cheaper per application at
+# eigensolver block sizes, slightly weaker per iteration).
+PRECOND_KIND = "mult"
 
 
 @jax.tree_util.register_dataclass
@@ -339,9 +348,31 @@ def banded_apply(bop: BandedOperator, BD, V: jax.Array,
     return out.reshape(n_pad, q)[:n]
 
 
+class PrecondState(NamedTuple):
+    """Carryable preconditioner state for warm rebuilds across Frank-Wolfe
+    steps: the explicit coarse inverse. A fresh (cold) build computes it by
+    Cholesky (~1.3 ms at nc=512 — XLA's small-matrix Cholesky on TPU is
+    latency-bound); warm rebuilds refine the PREVIOUS step's inverse with
+    a few Newton-Schulz iterations X <- X(2I - Lc X) — pure MXU matmuls,
+    ~0.1 ms — which converge quadratically because consecutive FW iterates
+    change the coarse operator by at most the step size gamma."""
+
+    Lc_inv: jax.Array  # (nc, nc)
+
+
+NS_COARSE_STEPS = 3  # Newton-Schulz refinement steps per warm rebuild
+
+
 def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
-                        smoother: str = "chain"):
+                        smoother: str = "chain", prev_state=None,
+                        use_prev=None, return_state: bool = False):
     """Two-level symmetric preconditioner for L(w) restricted to 1^perp.
+
+    prev_state / use_prev / return_state: warm-rebuild protocol. When
+    `prev_state` (a PrecondState) is given, the coarse inverse is chosen by
+    the traced boolean `use_prev`: False -> cold Cholesky build, True ->
+    Newton-Schulz refinement of prev_state.Lc_inv (see PrecondState). With
+    `return_state=True` the call returns (precond_fn, PrecondState).
 
     Smoothers:
       * 'chain' (default; requires `w`): exact tridiagonal solve of the
@@ -381,13 +412,15 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         e_nat = -w_pad[bop.chain_eid][: max(n - 1, 1)].astype(dtype)
         dd = d_nat + 100 * eps * jnp.max(d_nat)
         if n > 4096:
-            # Segment factorization: 3x cheaper to (re)build per weight
-            # update (measured 5.2 -> 1.8 ms) at the cost of dropping one
-            # chain coupling every `block` nodes — scale-512 structure the
-            # coarse level owns anyway.
+            # Segment factorization: far cheaper to (re)build per weight
+            # update (the rolled f64 scan runs CHAIN_LDL_BLOCK sequential
+            # steps: 512 -> 1.8 ms, 128 -> ~0.5 ms on city10000) at the
+            # cost of dropping one chain coupling every `block` nodes —
+            # structure above the coarse aggregate size (~20 nodes) that
+            # the coarse level owns anyway.
             from mac_tpu.ops.tridiag import tridiag_ldl_blocked
 
-            fac = tridiag_ldl_blocked(dd, e_nat, block=512)
+            fac = tridiag_ldl_blocked(dd, e_nat, block=CHAIN_LDL_BLOCK)
         else:
             fac = tridiag_ldl_auto(dd, e_nat)
 
@@ -434,10 +467,49 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
     jit_c = 1e-2 * (jnp.trace(Lc) / nc) + 100 * eps
     Lc_reg = (Lc + (cshift / nc) * jnp.ones((nc, nc), dtype)
               + jit_c * jnp.eye(nc, dtype=dtype))
-    Rc = jnp.linalg.cholesky(Lc_reg, upper=True)
-    Rc_inv = jax.scipy.linalg.solve_triangular(
-        Rc, jnp.eye(nc, dtype=dtype), lower=False)
-    Lc_inv = Rc_inv @ Rc_inv.T
+
+    def _chol_inverse(_):
+        Rc = jnp.linalg.cholesky(Lc_reg, upper=True)
+        Rc_inv = jax.scipy.linalg.solve_triangular(
+            Rc, jnp.eye(nc, dtype=dtype), lower=False)
+        return Rc_inv @ Rc_inv.T
+
+    if prev_state is None:
+        Lc_inv = _chol_inverse(None)
+    else:
+        def _ns_refine(Xp):
+            # Newton-Schulz from the previous FW step's inverse (exact-f32
+            # MXU accumulation — the iteration is itself error-correcting,
+            # so DEFAULT's bf16 pass would just waste a refinement step).
+            # Two safeguards make it robust to large weight swings:
+            # (1) trace damping — scale Xp so the mean eigenvalue of
+            # Lc_reg @ Xp is 1, pulling the spectrum toward NS's (0, 2)
+            # convergence basin; (2) a residual check — if the refined
+            # iterate is worse than the damped start (NS diverges
+            # quadratically when an eigenvalue still falls outside the
+            # basin), fall back to the damped start, which is always an
+            # SPD preconditioner-grade inverse. Callers additionally gate
+            # use_prev to steps where the operator change is bounded.
+            HI = jax.lax.Precision.HIGHEST
+            tr = jnp.sum(Lc_reg.T * Xp)  # trace(Lc_reg @ Xp)
+            X0 = Xp * (nc / jnp.maximum(tr, jnp.finfo(dtype).tiny))
+            eye = jnp.eye(nc, dtype=dtype)
+            X = X0
+            for _ in range(NS_COARSE_STEPS):
+                X = jnp.matmul(X, 2.0 * eye - jnp.matmul(Lc_reg, X,
+                                                         precision=HI),
+                               precision=HI)
+
+            def resid(Y):
+                R = eye - jnp.matmul(Lc_reg, Y, precision=HI)
+                return jnp.sum(R * R)
+
+            ok = jnp.logical_and(jnp.all(jnp.isfinite(X)),
+                                 resid(X) < resid(X0))
+            return jnp.where(ok, X, X0)
+
+        Lc_inv = jax.lax.cond(
+            use_prev, _ns_refine, _chol_inverse, prev_state.Lc_inv)
 
     # bf16-pass operator copy for preconditioner-internal residuals.
     def apply_fast(V):
@@ -476,4 +548,33 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         x = x + smooth(r2)
         return center(x)
 
-    return precond
+    def precond_additive(B: jax.Array) -> jax.Array:
+        # Additive two-level M^-1 = S + P Lc^-1 R: both corrections read B
+        # directly (no residual operator applies), and the whole cycle runs
+        # in the ORIGINAL ordering so only TWO permutation gathers remain
+        # (in and out) versus six in the multiplicative V-cycle — the
+        # gathers and residual applies are the latency bound at (n, q)
+        # eigensolver block sizes (each ~80 us on TPU at n=1e4).
+        # Weaker per application than the V-cycle; the intended use is
+        # latency-bound inner CG where 1-2 extra iterations cost less than
+        # the removed ops.
+        B = center(B)
+        if smoother == "chain":
+            from mac_tpu.ops.tridiag import tridiag_solve_factored_fast
+
+            Bn = B[bop.iperm]  # gather 1: RCM -> original order
+            xn = tridiag_solve_factored_fast(fac, Bn)
+            Bp = jnp.concatenate(
+                [Bn, jnp.zeros((nc * s - n, B.shape[1]), B.dtype)], axis=0)
+            rc = Bp.reshape(nc, s, -1).sum(axis=1)
+            xc = jnp.dot(Lc_inv, rc, preferred_element_type=dtype)
+            xn = xn + jnp.repeat(xc, s, axis=0)[:n]
+            return center(xn[bop.perm])  # gather 2: back to RCM
+        x = smooth(B)
+        xc = jnp.dot(Lc_inv, restrict(B), preferred_element_type=dtype)
+        return center(x + prolong(xc))
+
+    chosen = precond_additive if PRECOND_KIND == "additive" else precond
+    if return_state:
+        return chosen, PrecondState(Lc_inv=Lc_inv)
+    return chosen

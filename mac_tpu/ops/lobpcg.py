@@ -262,8 +262,20 @@ def tracemin_fiedler(
     stall_factor: float = 0.99,
     rel_tol: Optional[float] = None,
     coeff_dtype=None,
+    lam0: Optional[jax.Array] = None,
+    warm_init=None,
+    min_iters: int = 0,
 ) -> FiedlerResult:
     """Block inverse (subspace) iteration with Rayleigh-Ritz — TRACEMIN.
+
+    lam0 / warm_init: warm-entry protocol. When lam0 (a (q,) Ritz-value
+    vector matching X0) is provided, the traced boolean `warm_init`
+    selects between the full cold entry (orthonormalize X0 + initial
+    Rayleigh-Ritz, ~0.6 ms of latency-bound small ops at n=1e4) and the
+    warm entry that TRUSTS X0 to be the Ritz-ordered orthonormal block a
+    previous call returned — one operator apply replaces the whole init.
+    Frank-Wolfe threads (X, lam) across steps so every warm step takes
+    the cheap entry.
 
     Per outer iteration: approximately solve A' Y = X with `inner_iters`
     preconditioned CG steps (warm-started at X/lambda), then Rayleigh-Ritz
@@ -310,14 +322,32 @@ def tracemin_fiedler(
         m64 = jnp.mean(V.astype(jnp.float64), axis=0, keepdims=True)
         return V - m64.astype(V.dtype)
 
-    X = _orth(project(X0), coeff_dtype)
-    AX = apply_shifted(X)
-    H = _gram(X, AX, coeff_dtype)
-    lam, Y0 = jnp.linalg.eigh((H + H.T) / 2)
-    Y0 = Y0.astype(dtype)
-    X = X @ Y0
-    AX = AX @ Y0
-    lam = lam[:q].astype(dtype)
+    def _cold_entry(Xin):
+        X = _orth(project(Xin), coeff_dtype)
+        AX = apply_shifted(X)
+        H = _gram(X, AX, coeff_dtype)
+        lam, Y0 = jnp.linalg.eigh((H + H.T) / 2)
+        Y0 = Y0.astype(dtype)
+        return X @ Y0, AX @ Y0, lam[:q].astype(dtype)
+
+    if lam0 is None:
+        X, AX, lam = _cold_entry(X0)
+    else:
+        def _warm_entry(Xin):
+            # Trust Xin to be the orthonormal block a previous call's
+            # Rayleigh-Ritz returned (orthonormal to ~eps, so skipping the
+            # CholQR2 orthonormalization costs ~1e-6 eigenvalue error) but
+            # still ROTATE it against the CURRENT operator: the entry RR
+            # re-sorts the subspace for the new weights — dropping it was
+            # measured to cost ~8e-4 of relaxed-objective quality on
+            # city10000 (the entry RR acts as a free half-iteration).
+            AX = apply_shifted(Xin)
+            H = _gram(Xin, AX, coeff_dtype)
+            lam, Y = jnp.linalg.eigh((H + H.T) / 2)
+            Y = Y.astype(dtype)
+            return Xin @ Y, AX @ Y, lam[:q].astype(dtype)
+
+        X, AX, lam = jax.lax.cond(warm_init, _warm_entry, _cold_entry, X0)
     # Previous-iterate memory block (LOBPCG's P term): span[X_new, Y, X_old]
     # accumulates Krylov progress across restarts, which matters when the
     # fixed-budget inner CG can only partially resolve the preconditioner's
@@ -357,9 +387,17 @@ def tracemin_fiedler(
         # separates them with two orders of magnitude of margin.
         legacy_done = jnp.logical_and(res <= eff_tol, rres < 2.0)
         keep = jnp.logical_and(~legacy_done, rres > rel_tol_v)
-        return jnp.logical_and(
+        go = jnp.logical_and(
             jnp.logical_and(it < maxiter, keep), since < stall_patience
         )
+        # min_iters forces at least that many outers regardless of the
+        # entry residual — a warm entry (lam0/warm_init) whose carried
+        # block already sits inside rel_tol would otherwise run ZERO
+        # iterations and return the PREVIOUS operator's eigenvectors
+        # verbatim, silently freezing the caller's gradient direction.
+        if min_iters > 0:
+            go = jnp.logical_or(go, it < min_iters)
+        return go
 
     def body(carry):
         X, AX, lam, Xprev, it, res, best, since, rres = carry

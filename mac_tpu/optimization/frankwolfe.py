@@ -37,6 +37,7 @@ def frank_wolfe_with_state(
     relative_duality_gap_tol: float = 1e-5,
     grad_norm_tol: float = 1e-10,
     verbose: bool = False,
+    tail_average_from: Optional[int] = None,
 ):
     """Maximize a concave f via Frank-Wolfe, threading auxiliary state.
 
@@ -44,6 +45,15 @@ def frank_wolfe_with_state(
         updated auxiliary state (warm-start data); must be traceable.
     solve_lp(gradf) -> s: LP oracle over the feasible set.
     stepsize(x, gradf, s, k) -> gamma in [0, 1]; default 2/(k+2).
+
+    tail_average_from: when set, the returned iterate is the MEAN of the
+        evaluated iterates from that step index on (Cesaro tail average).
+        With inexact (noisy) gradients, plain FW limit-cycles around the
+        optimum — the last iterate's objective oscillates by several
+        times the trend — while by concavity f(mean of tail) >= mean of
+        tail f, so averaging removes the downside of the oscillation
+        deterministically, with no extra objective evaluations. The mean
+        of points in a convex feasible set stays feasible.
 
     Returns (x, u, state, num_iters) with u the dual upper bound.
     """
@@ -53,13 +63,14 @@ def frank_wolfe_with_state(
     x0 = jnp.asarray(initial)
     dtype = x0.dtype
     inf = jnp.asarray(jnp.inf, dtype)
+    averaging = tail_average_from is not None
 
     def cond(carry):
-        x, u, state, it, done = carry
+        x, u, state, it, done, xavg, cnt = carry
         return jnp.logical_and(~done, it < maxiter)
 
     def body(carry):
-        x, u, state, it, done = carry
+        x, u, state, it, done, xavg, cnt = carry
         f, gradf, state_new = problem(x, state)
         s = solve_lp(gradf)
         u_new = jnp.minimum(u, f + gradf @ (s - x))
@@ -68,17 +79,36 @@ def frank_wolfe_with_state(
                 "FW iter {it}: f = {f}, gap = {gap}", it=it, f=f, gap=u_new - f
             )
         small_grad = jnp.linalg.norm(gradf) < grad_norm_tol
-        small_gap = (u_new - f) < relative_duality_gap_tol * jnp.abs(f)
+        # tol <= 0 disables the duality-gap stop entirely: with a noisy
+        # (e.g. float32 inexact-eigensolve) objective the accumulated min
+        # bound u can dip BELOW a later noisy f, so even `gap < 0` fires
+        # spuriously — u_new - f is then noise, not a certificate.
+        small_gap = jnp.logical_and(
+            relative_duality_gap_tol > 0,
+            (u_new - f) < relative_duality_gap_tol * jnp.abs(f))
         stop = jnp.logical_or(small_grad, small_gap)
         gamma = stepsize(x, gradf, s, it).astype(dtype)
         x_stepped = x + gamma * (s - x)
         x_new = jnp.where(stop, x, x_stepped)
-        return (x_new, u_new, state_new, it + 1, stop)
+        if averaging:
+            # Running mean of the iterates at which f was EVALUATED.
+            take = it >= tail_average_from
+            cnt_new = jnp.where(take, cnt + 1, cnt)
+            xavg_new = jnp.where(
+                take, xavg + (x - xavg) / jnp.maximum(cnt_new, 1).astype(dtype),
+                xavg)
+        else:
+            cnt_new, xavg_new = cnt, xavg
+        return (x_new, u_new, state_new, it + 1, stop, xavg_new, cnt_new)
 
     it0 = jnp.asarray(0, jnp.int32)
-    x, u, state, it, done = jax.lax.while_loop(
-        cond, body, (x0, inf, state0, it0, jnp.asarray(False))
+    zero = jnp.asarray(0, jnp.int32)
+    xavg0 = jnp.zeros_like(x0) if averaging else x0
+    x, u, state, it, done, xavg, cnt = jax.lax.while_loop(
+        cond, body, (x0, inf, state0, it0, jnp.asarray(False), xavg0, zero)
     )
+    if averaging:
+        x = jnp.where(cnt > 0, xavg, x)
     return x, u, state, it
 
 

@@ -215,6 +215,7 @@ class MAC:
         fiedler_block_q=None,
         mesh=None,
         use_banded=None,
+        fw_tail_average=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
         the Laplacian product row-blocks across devices
@@ -275,7 +276,8 @@ class MAC:
                               min_selection_weight_tol, fiedler_maxiter,
                               fiedler_inner_iters, fiedler_rel_tol,
                               fiedler_coeff_dtype, fiedler_warm_maxiter,
-                              fiedler_block_q, mesh, use_banded)
+                              fiedler_block_q, mesh, use_banded,
+                              fw_tail_average)
 
     def _device_ctx(self):
         """Context manager pinning computation to this instance's device
@@ -291,7 +293,8 @@ class MAC:
                      min_selection_weight_tol, fiedler_maxiter,
                      fiedler_inner_iters, fiedler_rel_tol,
                      fiedler_coeff_dtype, fiedler_warm_maxiter,
-                     fiedler_block_q, mesh, use_banded):
+                     fiedler_block_q, mesh, use_banded,
+                     fw_tail_average=None):
         dtype = self.dtype
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
         self._w_cand = jnp.asarray(w_cand, dtype=dtype)
@@ -370,7 +373,28 @@ class MAC:
             # cap was measured to cost them objective quality (intel:
             # -1.7e-3 relative) for negligible speed — full budget there.
             fiedler_warm_maxiter = 5
+        # Normalized warm-cap SCHEDULE: a tuple of (from_step, cap) pairs,
+        # ascending in from_step — the cap applying to warm FW steps
+        # >= from_step (step 0 always gets the full budget). A plain int
+        # is the flat schedule ((1, cap),).
+        if fiedler_warm_maxiter is None:
+            self._warm_schedule = ((1, int(fiedler_maxiter)),)
+        elif isinstance(fiedler_warm_maxiter, int):
+            self._warm_schedule = ((1, int(fiedler_warm_maxiter)),)
+        else:
+            sched = tuple((int(a), int(b)) for a, b in fiedler_warm_maxiter)
+            assert all(sched[i][0] < sched[i + 1][0]
+                       for i in range(len(sched) - 1))
+            self._warm_schedule = sched
         self.fiedler_warm_maxiter = fiedler_warm_maxiter
+        # Tail-averaged Frank-Wolfe (see frankwolfe.tail_average_from):
+        # None = automatic (on for the fast32 inexact-eigensolve path,
+        # whose objective noise makes the last iterate a lottery; off on
+        # exact-gradient paths, preserving reference last-iterate
+        # semantics).
+        if fw_tail_average is None:
+            fw_tail_average = fast32
+        self.fw_tail_average = bool(fw_tail_average)
         self.fiedler_tol = float(fiedler_tol)
         self.fiedler_maxiter = int(fiedler_maxiter)
         self.fiedler_inner_iters = int(fiedler_inner_iters)
@@ -404,7 +428,8 @@ class MAC:
         self._fw_jit = jax.jit(
             self._fw_impl,
             static_argnames=("k", "maxiter", "use_cache", "verbose",
-                             "fuse_nearest_rounding"),
+                             "fuse_nearest_rounding", "schedule",
+                             "tail_average"),
         )
 
     # ------------------------------------------------------------------ core
@@ -423,29 +448,55 @@ class MAC:
         op, w_fixed, w_cand, chain_w, banded = params
         return jnp.concatenate([w_fixed, self._mask(x) * w_cand])
 
-    def _fiedler(self, params, w_all: jax.Array, X: jax.Array, maxiter=None):
+    def _fiedler(self, params, w_all: jax.Array, X: jax.Array, maxiter=None,
+                 pstate=None, use_prev=None, want_pstate: bool = False,
+                 rel_tol=None, lam0=None, warm_init=None):
         op, w_fixed, w_cand, chain_w, banded = params
         return _fiedler.fiedler_pair_op(
             op,
             w_all,
             X,
+            lam0=lam0,
+            warm_init=warm_init,
             tol=self.fiedler_tol,
             maxiter=self.fiedler_maxiter if maxiter is None else maxiter,
             inner_iters=self.fiedler_inner_iters,
-            rel_tol=self.fiedler_rel_tol,
+            rel_tol=self.fiedler_rel_tol if rel_tol is None else rel_tol,
             chain_w=chain_w,
             method=self.fiedler_method,
             apply_override=None if self._sharded is None else self._sharded.apply,
             banded=banded,
             coeff_dtype=self.fiedler_coeff_dtype,
+            banded_pstate=pstate,
+            banded_use_prev=use_prev,
+            return_banded_pstate=want_pstate,
         )
 
+    def _eval_rel_tol(self):
+        """Residual tolerance for standalone OBJECTIVE EVALUATIONS (not
+        the timed Frank-Wolfe path): the Rayleigh quotient over-reports
+        lambda_2 by up to ||r||_rel^2 / spectral-gap, so the fast path's
+        loose in-loop tolerance (3e-2 — fine for steering a top-k
+        selection) would bias reported objectives by up to ~1e-3 relative.
+        Evaluations run to ~1e-3 relative residual instead (bias ~1e-5),
+        which costs more outer iterations but sits outside every timed
+        span (measured against scipy eigsh on city10000: loose-eval bias
+        +2.5e-3, tight-eval bias < 1e-4)."""
+        if self.dtype == jnp.float32:
+            rt = self.fiedler_rel_tol
+            return 1e-3 if rt is None else min(float(rt), 1e-3)
+        return self.fiedler_rel_tol
+
     def _eval_impl(self, params, x: jax.Array, X0: jax.Array) -> jax.Array:
-        res = self._fiedler(params, self._w_all(params, x), X0)
+        res = self._fiedler(params, self._w_all(params, x), X0,
+                            maxiter=max(self.fiedler_maxiter, 100),
+                            rel_tol=self._eval_rel_tol())
         return res.lam[0]
 
     def _eval_vec_impl(self, params, x: jax.Array, X0: jax.Array):
-        res = self._fiedler(params, self._w_all(params, x), X0)
+        res = self._fiedler(params, self._w_all(params, x), X0,
+                            maxiter=max(self.fiedler_maxiter, 100),
+                            rel_tol=self._eval_rel_tol())
         return res.lam[0], res.X
 
     def _refine_lambda(self, x, v) -> float:
@@ -471,15 +522,23 @@ class MAC:
     def _eval_many_impl(self, params, xs: jax.Array, X0: jax.Array) -> jax.Array:
         return jax.vmap(lambda x: self._eval_impl(params, x, X0))(xs)
 
-    def _problem_impl(self, params, x, X, maxiter=None):
+    def _problem_impl(self, params, x, X, maxiter=None, pstate=None,
+                      use_prev=None, lam0=None, warm_init=None):
         op, w_fixed, w_cand, chain_w, banded = params
-        res = self._fiedler(params, self._w_all(params, x), X, maxiter=maxiter)
+        want_pstate = pstate is not None
+        out = self._fiedler(params, self._w_all(params, x), X,
+                            maxiter=maxiter, pstate=pstate,
+                            use_prev=use_prev, want_pstate=want_pstate,
+                            lam0=lam0, warm_init=warm_init)
+        res, pstate_new = out if want_pstate else (out, None)
         v = res.X[:, 0]
         m_fixed = op.m - w_cand.shape[0]
         ci = op.idx[m_fixed:, 0]
         cj = op.idx[m_fixed:, 1]
         d = v[ci] - v[cj]
         grad = w_cand * d * d
+        if want_pstate:
+            return res.lam[0], grad, res.X, res.iters, pstate_new, res.lam
         return res.lam[0], grad, res.X, res.iters
 
     def _fw_impl(
@@ -495,38 +554,80 @@ class MAC:
         use_cache: bool,
         verbose: bool,
         fuse_nearest_rounding: bool = False,
+        schedule=None,
+        tail_average: bool = False,
     ):
-        # Auxiliary FW state: (eigenvector block, cumulative Fiedler
-        # iterations, FW step index) — the counter is the observability
-        # hook the reference lacks (SURVEY.md §5: wall-clock spans only).
+        # Auxiliary FW state: (eigenvector block, Ritz values, cumulative
+        # Fiedler iterations, FW step index, preconditioner state) — the
+        # counter is the observability hook the reference lacks
+        # (SURVEY.md §5: wall-clock spans only).
         # Warm-started Frank-Wolfe steps cap the eigensolver's outer
-        # iterations at fiedler_warm_maxiter (inexact FW: early gradients
+        # iterations per the warm-cap SCHEDULE (inexact FW: early gradients
         # only steer a top-k selection); the first (cold) step and
         # cache-off runs use the full budget.
-        warm_cap = self.fiedler_warm_maxiter
-        if warm_cap is None or not use_cache:
-            warm_cap = self.fiedler_maxiter
+        if schedule is None or not use_cache:
+            schedule = ((1, self.fiedler_maxiter),)
+
+        def warm_cap_at(step):
+            mi = jnp.asarray(self.fiedler_maxiter, jnp.int32)
+            for from_step, cap in schedule:
+                mi = jnp.where(step >= from_step, jnp.int32(cap), mi)
+            return jnp.where(step == 0, self.fiedler_maxiter, mi)
+
+        # Carryable preconditioner state (banded path): the coarse inverse
+        # is Cholesky-built on the cold step and Newton-Schulz-refreshed on
+        # warm steps (mac_tpu.ops.banded.PrecondState) — ~1.3 ms of the
+        # ~6 ms per-FW fixed cost.
+        banded = params[4]
+        if banded is not None:
+            from mac_tpu.ops.banded import PrecondState
+
+            pstate0 = PrecondState(Lc_inv=jnp.zeros(
+                (banded.coarse_nc, banded.coarse_nc), self.dtype))
+        else:
+            pstate0 = None
 
         def problem(x, state):
-            X, fiters, step = state
+            X, lam, fiters, step, pstate = state
             # (A full-budget LAST step was tried and reverted: measured
             # identical objective at +15 outer iterations — the final x is
             # shaped by the whole trajectory, not the last gradient.)
-            mi = jnp.where(step == 0, self.fiedler_maxiter, warm_cap)
-            f, grad, Xres, iters = self._problem_impl(params, x, X, maxiter=mi)
+            mi = warm_cap_at(step)
+            if pstate is not None:
+                # Newton-Schulz coarse refresh only once the FW step size
+                # gamma = 2/(step+2) has decayed enough that consecutive
+                # coarse operators stay within the NS convergence basin
+                # (early steps swing candidate weights by up to 1/(1-gamma)
+                # per entry; step >= 4 bounds gamma at 1/3).
+                # (A warm eigensolver ENTRY — skipping the init
+                # Rayleigh-Ritz using the carried Ritz block/values — was
+                # tried in both skip-RR and keep-RR forms and REVERTED:
+                # ~7 ms saved on city10000 but 0.8-3e-3 of relaxed
+                # objective lost; the cold entry's project+orth+RR against
+                # each step's operator is load-bearing for trajectory
+                # quality.)
+                f, grad, Xres, iters, pstate, lam = self._problem_impl(
+                    params, x, X, maxiter=mi, pstate=pstate,
+                    use_prev=step >= 4)
+            else:
+                f, grad, Xres, iters = self._problem_impl(
+                    params, x, X, maxiter=mi)
             Xnew = Xres if use_cache else X0
-            return f, grad, (Xnew, fiters + iters, step + 1)
+            return f, grad, (Xnew, lam, fiters + iters, step + 1, pstate)
 
         solve_lp = lambda g: constraints.solve_subset_box_lp(g, k)
-        x, u, (X, fiters, _), it = frank_wolfe_with_state(
+        lam0_carry = jnp.zeros((self._q,), self.dtype)
+        x, u, (X, _, fiters, _, _), it = frank_wolfe_with_state(
             x0,
-            (X0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+            (X0, lam0_carry, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), pstate0),
             problem,
             solve_lp,
             maxiter=maxiter,
             relative_duality_gap_tol=relative_duality_gap_tol,
             grad_norm_tol=grad_norm_tol,
             verbose=verbose,
+            tail_average_from=(maxiter // 2 if tail_average else None),
         )
         # In-graph nearest rounding: every separately dispatched program
         # pays ~26 ms of tunnel latency, so the default rounding runs in
@@ -580,8 +681,8 @@ class MAC:
         x_init=None,
         rounding: str = "nearest",
         fallback: bool = False,
-        max_iters: int = 5,
-        relative_duality_gap_tol: float = 1e-4,
+        max_iters: Optional[int] = None,
+        relative_duality_gap_tol: Optional[float] = None,
         grad_norm_tol: float = 1e-8,
         random_rounding_max_iters: int = 1,
         verbose: bool = False,
@@ -596,6 +697,18 @@ class MAC:
         reference's semantics (mac/solvers/mac.py:130-225), including the
         k >= m shortcut and the optional fallback-to-init check (implemented
         correctly, unlike reference mac.py:218).
+
+        max_iters=None selects the AUTOMATIC iteration policy: on the
+        fast float32-banded path this is many cheap inexact Frank-Wolfe
+        steps (maxiter 40, a decaying warm-cap schedule, tail averaging,
+        and the noisy-bound duality stop disabled) — measured on
+        city10000 to land a strictly better relaxed objective than 20
+        reference-style exact steps in a fraction of the time; elsewhere
+        it is the reference default (5 exact steps).
+        relative_duality_gap_tol=None likewise defers to the path policy
+        (1e-4 on exact paths; disabled on the float32 path, where the
+        accumulated dual bound carries eigensolver noise and fires
+        spuriously — see mac_tpu.optimization.frankwolfe).
 
         On the float32 path `upper_bound` is a RIGOROUS float64 certificate
         of the true optimum (final-iterate Rayleigh-quotient linearization
@@ -638,6 +751,30 @@ class MAC:
         x_init = jnp.asarray(x_init, dtype=self.dtype)
         assert x_init.shape[0] == m
 
+        # Resolve the iteration policy (see docstring). The tuned fast32
+        # operating point: 40 inexact steps under the decaying warm-cap
+        # schedule 4 -> 2 (step 4) -> 1 (step 10), Cesaro tail averaging,
+        # duality stop off. Explicit max_iters keeps the ctor-resolved
+        # schedule and reference-style stopping semantics.
+        fast32 = self._banded is not None and self.dtype == jnp.float32
+        schedule = self._warm_schedule
+        tail_avg = False
+        if max_iters is None:
+            if fast32:
+                max_iters = 40
+                if self.fiedler_warm_maxiter is None or isinstance(
+                        self.fiedler_warm_maxiter, int):
+                    schedule = ((1, 4), (4, 2), (10, 1))
+                if relative_duality_gap_tol is None:
+                    relative_duality_gap_tol = 0.0
+                tail_avg = self.fw_tail_average
+            else:
+                max_iters = 5  # the reference's default (mac.py:133)
+        elif fast32 and self.fw_tail_average and int(max_iters) >= 24:
+            tail_avg = True
+        if relative_duality_gap_tol is None:
+            relative_duality_gap_tol = 1e-4
+
         solve_start = timer()
         fuse_nearest = rounding == "nearest"
         x_dev, u, X_dev, it, fiters, rounded_dev = self._fw_jit(
@@ -651,6 +788,8 @@ class MAC:
             use_cache=bool(use_cache),
             verbose=bool(verbose),
             fuse_nearest_rounding=fuse_nearest,
+            schedule=schedule,
+            tail_average=tail_avg,
         )
         # ONE batched device->host fetch: each separate fetch through the
         # tunnel costs milliseconds, and everything below is host math.
@@ -726,13 +865,14 @@ class MAC:
         The warm-step eigensolver cap matters doubly here: under vmap the
         eigensolver while_loop runs to the SLOWEST lane, so one stalled
         lane without the cap costs every lane the full outer budget."""
-        warm_cap = self.fiedler_warm_maxiter
-        if warm_cap is None:
-            warm_cap = self.fiedler_maxiter
+        schedule = self._warm_schedule
 
         def problem(x, state):
             X, step = state
-            mi = jnp.where(step == 0, self.fiedler_maxiter, warm_cap)
+            mi = jnp.asarray(self.fiedler_maxiter, jnp.int32)
+            for from_step, cap in schedule:
+                mi = jnp.where(step >= from_step, jnp.int32(cap), mi)
+            mi = jnp.where(step == 0, self.fiedler_maxiter, mi)
             f, grad, Xnew, _ = self._problem_impl(params, x, X, maxiter=mi)
             return f, grad, (Xnew, step + 1)
 

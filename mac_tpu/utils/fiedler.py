@@ -85,6 +85,11 @@ def fiedler_pair_op(
     apply_override=None,
     banded=None,
     coeff_dtype=None,
+    banded_pstate=None,
+    banded_use_prev=None,
+    return_banded_pstate: bool = False,
+    lam0=None,
+    warm_init=None,
 ) -> FiedlerResult:
     """Device-side Fiedler solve on a GraphOperator with weights w.
 
@@ -100,13 +105,24 @@ def fiedler_pair_op(
     API compatibility but the tridiagonal part is extracted from (op, w)
     directly, which also covers non-chain graphs (falls back to diagonal
     scaling naturally).
+
+    banded_pstate / banded_use_prev / return_banded_pstate: warm-rebuild
+    protocol for the banded preconditioner's carryable coarse-inverse
+    state (mac_tpu.ops.banded.PrecondState) — lets Frank-Wolfe refresh it
+    with Newton-Schulz matmuls instead of a cold Cholesky build each step.
+    With return_banded_pstate=True the call returns
+    (FiedlerResult, PrecondState-or-None).
     """
     n = op.n
     q = X.shape[1]
+
+    def _ret(res, pstate=None):
+        return (res, pstate) if return_banded_pstate else res
+
     if apply_override is None and (
         method == "dense" or (op.mode == "dense" and n <= DENSE_EIGH_MAX_N)
     ):
-        return dense_fiedler(lap_dense(op, w), q)
+        return _ret(dense_fiedler(lap_dense(op, w), q))
 
     BD = None
     if apply_override is not None:
@@ -137,10 +153,16 @@ def fiedler_pair_op(
 
         return apply_L(V) + _shift_term(V, c)
 
+    pstate_out = None
     if BD is not None:
         from mac_tpu.ops import banded as _banded
 
-        Minv = _banded.make_banded_precond(banded, BD, w=w)
+        if banded_pstate is not None or return_banded_pstate:
+            Minv, pstate_out = _banded.make_banded_precond(
+                banded, BD, w=w, prev_state=banded_pstate,
+                use_prev=banded_use_prev, return_state=True)
+        else:
+            Minv = _banded.make_banded_precond(banded, BD, w=w)
     elif precond == "twogrid":
         Minv = _twogrid.make_twogrid_precond(op, w, apply_L)
     else:
@@ -158,13 +180,16 @@ def fiedler_pair_op(
 
     if method == "lobpcg":
         pc = lambda R: pcg_fixed(apply_shifted, R, Minv, iters=inner_iters)
-        return lobpcg_fiedler(apply_L, X, lnorm, precond=pc, tol=tol, maxiter=maxiter)
+        return _ret(lobpcg_fiedler(apply_L, X, lnorm, precond=pc, tol=tol,
+                                   maxiter=maxiter), pstate_out)
     # Default: TRACEMIN (block inverse iteration) — float32-stable; see
     # mac_tpu.ops.lobpcg.tracemin_fiedler.
-    return tracemin_fiedler(
+    return _ret(tracemin_fiedler(
         apply_L, X, lnorm, Minv, tol=tol, maxiter=maxiter,
         inner_iters=inner_iters, rel_tol=rel_tol, coeff_dtype=coeff_dtype,
-    )
+        lam0=lam0, warm_init=warm_init,
+        min_iters=1 if lam0 is not None else 0,
+    ), pstate_out)
 
 
 def _op_from_matrix(L) -> Tuple[GraphOperator, np.ndarray, Optional[np.ndarray]]:
