@@ -70,6 +70,10 @@ def main():
     ap.add_argument("--max-iters", type=int, default=20)
     ap.add_argument("--madow-trials", type=int, default=1)
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--plot-trajectory-grid", action="store_true",
+                    help="with --plot and SE-Sync available: render the "
+                         "full per-budget x per-method trajectory grid "
+                         "(reference g2o_experiment.py:525-598)")
     ap.add_argument("--out", default=None, help="write results JSON here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (must be set before any "
@@ -108,6 +112,7 @@ def main():
             use_cache=True, return_rounding_time=True,
         )
         rec["mac_nearest_s"] = time.perf_counter() - t0
+        rec["mac_rounding_s"] = rt
         rec["lam2_mac_nearest"] = mac.evaluate_objective(rounded)
         rec["lam2_unrounded"] = mac.evaluate_objective(unrounded)
         rec["dual_upper"] = upper
@@ -185,6 +190,7 @@ def main():
         print(f"full SE-Sync: objective={full_objective:.6g} "
               f"rot_cost={full_rot_cost:.6g} [{full_sesync_s:.2f}s]")
 
+        xhats = {}  # (k, method) -> SE-Sync estimate, for trajectory grids
         for rec in records:
             rec["full_objective"] = full_objective
             rec["full_rot_cost"] = full_rot_cost
@@ -197,6 +203,7 @@ def main():
                 t0 = time.perf_counter()
                 xhat = sesync_solve(sel_meas, n)
                 rec[f"sesync_s_{name}"] = time.perf_counter() - t0
+                xhats[(rec["k"], name)] = xhat
                 rec[f"ate_{name}"] = poses_ate_tran(xhat, xhat_full)
                 rec[f"rpe_{name}"] = poses_rpe_rot(xhat, xhat_full)
                 # Score the sparsified solution on the FULL problem.
@@ -320,6 +327,67 @@ def main():
             fig2.savefig(f"{stem}_trajectories.png", dpi=120, bbox_inches="tight")
             plt.close(fig2)
             print(f"wrote {stem}_trajectories.png")
+
+            # Per-method time breakdown over budgets (reference has
+            # per-method time plots at g2o_experiment.py:400-414,455-467):
+            # Frank-Wolfe solve vs rounding vs downstream SE-Sync.
+            fig3, ax3 = plt.subplots(figsize=(7, 4.5))
+            ax3.semilogy(pcts, [r["mac_nearest_s"] - r["mac_rounding_s"]
+                                for r in records], "s-", label="MAC solve (FW)")
+            ax3.semilogy(pcts, [max(r["mac_rounding_s"], 1e-6)
+                                for r in records], "s--",
+                         label="MAC rounding (nearest)")
+            ax3.semilogy(pcts, [max(r["mac_madow_s"] - (r["mac_nearest_s"]
+                                    - r["mac_rounding_s"]), 1e-6)
+                                for r in records], "^--",
+                         label="Madow re-rounding")
+            if "esp_s" in records[0]:
+                ax3.semilogy(pcts, [r["esp_s"] for r in records], "d-",
+                             label="GreedyESP (cumulative)")
+            for name, label, style in methods:
+                key = f"sesync_s_{name}"
+                if key in records[0]:
+                    ax3.semilogy(pcts, [r[key] for r in records],
+                                 style.replace("-", ":"),
+                                 label=f"SE-Sync ({label})")
+            ax3.set_xlabel("fraction of loop closures kept")
+            ax3.set_ylabel("time (s)")
+            ax3.legend(fontsize=8)
+            fig3.savefig(f"{stem}_time_breakdown.png", dpi=120,
+                         bbox_inches="tight")
+            plt.close(fig3)
+            print(f"wrote {stem}_time_breakdown.png")
+
+        if have_q and args.plot_trajectory_grid:
+            # Full per-budget x per-method trajectory grid (reference
+            # g2o_experiment.py:525-598) from the SE-Sync estimates cached
+            # during the metrics pass.
+            from mac_tpu.slam.pose_graph import plot_poses
+
+            nrows = len(records)
+            fig4, axes4 = plt.subplots(
+                nrows, len(methods) + 1,
+                figsize=(4.0 * (len(methods) + 1), 3.6 * nrows),
+                squeeze=False)
+            for r_i, rec in enumerate(records):
+                plot_poses(xhat_full, measurements, show=False,
+                           ax=axes4[r_i][0])
+                axes4[r_i][0].set_title(f"full ({rec['pct']:.0%} row)")
+                for axp, (name, label, _) in zip(axes4[r_i][1:], methods):
+                    xh = xhats.get((rec["k"], name))
+                    if xh is None:
+                        axp.axis("off")
+                        continue
+                    sel_key = (f"{name}_selection" if name != "mac"
+                               else "mac_selection")
+                    mask = np.asarray(rec[sel_key])
+                    sel_meas = meas_fixed + select_edges(meas_lc, mask)
+                    plot_poses(xh, sel_meas, show=False, ax=axp)
+                    axp.set_title(f"{label} ({rec['pct']:.0%})")
+            fig4.savefig(f"{stem}_trajectory_grid.png", dpi=100,
+                         bbox_inches="tight")
+            plt.close(fig4)
+            print(f"wrote {stem}_trajectory_grid.png")
 
 
 if __name__ == "__main__":

@@ -90,6 +90,7 @@ def fiedler_pair_op(
     return_banded_pstate: bool = False,
     lam0=None,
     warm_init=None,
+    banded_shardings=None,
 ) -> FiedlerResult:
     """Device-side Fiedler solve on a GraphOperator with weights w.
 
@@ -133,6 +134,13 @@ def fiedler_pair_op(
         from mac_tpu.ops import banded as _banded
 
         BD = _banded.assemble_bd(banded, w)
+        if banded_shardings is not None:
+            # Multi-chip: constrain the block-row tensors 'graph'-sharded;
+            # XLA partitions the batched-matmul apply across devices.
+            up_s, deg_s = banded_shardings
+            BD = BD._replace(
+                up=jax.lax.with_sharding_constraint(BD.up, up_s),
+                deg=jax.lax.with_sharding_constraint(BD.deg, deg_s))
         apply_L = lambda V: _banded.banded_apply(banded, BD, V)
     elif op.mode == "dense":
         Ld = lap_dense(op, w)

@@ -1,6 +1,11 @@
 """Full benchmark table: mac_tpu on the TPU vs the reference's measured CPU
-numbers (scripts/baseline_reference.json), all six datasets, same protocol
-(K = 50%, NaiveGreedy init, max_iters=20, nearest rounding, cache on).
+numbers (scripts/baseline_reference.json), all six datasets. Inputs match
+(K = 50%, NaiveGreedy init, nearest rounding, cache on); each solver runs
+its own recommended operating point — the reference at its experiment
+driver's max_iters=20, mac_tpu at the automatic default policy (see
+MAC.solve) — and relaxed-solution quality is scored with scipy float64
+shift-invert Lanczos (the impartial referee), so the comparison cannot
+trade accuracy for speed.
 
 Also times our GreedyESP lazy sweep on city10000 — the strongest classical
 baseline, which the reference implementation cannot run in this image at
@@ -27,33 +32,45 @@ REF = {r["dataset"]: r for r in json.loads(
     (REPO / "scripts" / "baseline_reference.json").read_text())}
 
 
+def scipy_lam2(L):
+    import scipy.sparse.linalg as spla
+
+    vals = spla.eigsh(L.astype(np.float64), k=2, sigma=-1e-9, which="LM",
+                      return_eigenvectors=False)
+    return float(np.sort(vals)[-1])
+
+
 def run(name):
+    import statistics
+
     measurements, n = read_g2o_file(str(REPO / "data" / f"{name}.g2o"))
     fixed, cands = split_edges(rpm_to_mac(measurements))
     k = len(cands) // 2
     x_init = NaiveGreedy(cands).subset(k)
-    mac = MAC(fixed, cands, n)  # automatic solver policy (default config)
+    mac = MAC(fixed, cands, n)  # automatic solver + iteration policy
     t0 = time.perf_counter()
-    mac.solve(k, x_init, max_iters=20, use_cache=True)
+    mac.solve(k, x_init, use_cache=True)
     cold = time.perf_counter() - t0
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        rounded, unrounded, upper = mac.solve(k, x_init, max_iters=20, use_cache=True)
+        rounded, unrounded, upper = mac.solve(k, x_init, use_cache=True)
         times.append(time.perf_counter() - t0)
-    lam_unrounded = mac.evaluate_objective(unrounded)
-    lam_rounded = mac.evaluate_objective(rounded)
+    med = statistics.median(times)
+    lam_unrounded = scipy_lam2(mac.laplacian(np.asarray(unrounded)))
+    lam_rounded = scipy_lam2(mac.laplacian(np.asarray(rounded)))
     ref = REF[name]
     rec = dict(
         dataset=name, n=n, m_cand=len(cands), k=k,
-        tpu_solve_s=round(min(times), 4), tpu_cold_s=round(cold, 1),
+        tpu_solve_s=round(med, 4), tpu_cold_s=round(cold, 1),
         ref_solve_s=ref["solve_s"],
-        speedup=round(ref["solve_s"] / min(times), 2),
+        speedup=round(ref["solve_s"] / med, 2),
         lam2_unrounded=lam_unrounded,
         ref_lam2_unrounded=ref["lam2_unrounded"],
         lam2_gap_rel=(lam_unrounded - ref["lam2_unrounded"]) / abs(ref["lam2_unrounded"]),
         lam2_rounded=lam_rounded,
         ref_lam2_rounded=ref["lam2_rounded"],
+        quality_referee="scipy eigsh f64 (both columns)",
     )
     print(json.dumps(rec), flush=True)
     return rec

@@ -282,3 +282,44 @@ def test_fiedler_block_q_end_to_end(petersen_split, q):
     assert X.shape == X_warm.shape
     lam4, _, _ = find_fiedler_pair(L)
     np.testing.assert_allclose(lam, lam4, rtol=1e-6)
+
+
+def test_host_backend_parity():
+    """The host-native Frank-Wolfe path (numpy + scipy splu TRACEMIN —
+    the production path for float64-escalated CPU-pinned instances) must
+    agree with the device engine on objective and selection."""
+    import networkx as nx
+    from mac_tpu.utils.conversions import nx_to_mac
+
+    rng = np.random.RandomState(4)
+    n = 400
+    G = nx.path_graph(n)
+    while G.number_of_edges() < n - 1 + 80:
+        i, j = rng.randint(0, n, 2)
+        if abs(int(i) - int(j)) > 1:
+            G.add_edge(int(i), int(j))
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.5 + rng.rand()
+    edges = nx_to_mac(G)
+    fixed = [e for e in edges if abs(e.i - e.j) == 1]
+    cands = [e for e in edges if abs(e.i - e.j) > 1]
+    k = len(cands) // 2
+    x_init = np.full(len(cands), k / len(cands))
+
+    mac_d = MAC(fixed, cands, n, fiedler_backend="device")
+    mac_h = MAC(fixed, cands, n, fiedler_backend="host")
+    assert mac_h.fiedler_backend == "host"
+    rd, ud, bd = mac_d.solve(k, x_init, max_iters=10)
+    rh, uh, bh = mac_h.solve(k, x_init, max_iters=10)
+    assert mac_h.last_solve_stats["backend"] == "host"
+
+    f_d = mac_d.evaluate_objective(ud)
+    f_h = mac_d.evaluate_objective(uh)
+    np.testing.assert_allclose(f_h, f_d, rtol=1e-6)
+    np.testing.assert_allclose(
+        mac_d.evaluate_objective(rh), mac_d.evaluate_objective(rd),
+        rtol=1e-6)
+    assert rh.sum() == k
+    # The exact-float64 dual bound is a valid upper bound on both.
+    assert f_h <= bh + 1e-9
+    assert f_d <= bh + 1e-6 or f_d <= bd + 1e-6
