@@ -265,8 +265,15 @@ def tracemin_fiedler(
     lam0: Optional[jax.Array] = None,
     warm_init=None,
     min_iters: int = 0,
+    nullvec: Optional[jax.Array] = None,
 ) -> FiedlerResult:
     """Block inverse (subspace) iteration with Rayleigh-Ritz — TRACEMIN.
+
+    nullvec: optional unit (n,) vector spanning the operator's nullspace
+    when it is NOT the constant vector — e.g. D^{1/2}1/||D^{1/2}1|| for the
+    normalized Laplacian N = D^{-1/2} L D^{-1/2}. Default None keeps the
+    constant-vector handling (mean projection + (c/n)*1 1^T shift, which is
+    the nullvec = 1/sqrt(n) special case).
 
     lam0 / warm_init: warm-entry protocol. When lam0 (a (q,) Ritz-value
     vector matching X0) is provided, the traced boolean `warm_init`
@@ -312,15 +319,33 @@ def tracemin_fiedler(
     # so the shift does not bias the reported eigenvalues.
     sigma = 32 * eps * c
 
+    if nullvec is None:
+        def _shift(V):
+            return _shift_term(V, c)
+
+        def project(V):
+            m64 = jnp.mean(V.astype(jnp.float64), axis=0, keepdims=True)
+            return V - m64.astype(V.dtype)
+    else:
+        # General unit nullspace vector u: shift c*u(u^T V), projection
+        # V - u(u^T V). Coefficients accumulate in float64 for the same
+        # reason as _shift_term (c can dwarf the eigen-signal).
+        u64 = nullvec.astype(jnp.float64)
+
+        def _shift(V):
+            coef = u64[None, :] @ V.astype(jnp.float64)  # (1, k)
+            return (jnp.asarray(c, jnp.float64)
+                    * (u64[:, None] * coef)).astype(V.dtype)
+
+        def project(V):
+            coef = u64[None, :] @ V.astype(jnp.float64)
+            return V - (u64[:, None] * coef).astype(V.dtype)
+
     def apply_shifted(V):
-        return apply_L(V) + _shift_term(V, c)
+        return apply_L(V) + _shift(V)
 
     def apply_inner(V):
         return apply_shifted(V) + sigma * V
-
-    def project(V):
-        m64 = jnp.mean(V.astype(jnp.float64), axis=0, keepdims=True)
-        return V - m64.astype(V.dtype)
 
     def _cold_entry(Xin):
         X = _orth(project(Xin), coeff_dtype)

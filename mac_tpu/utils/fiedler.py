@@ -220,6 +220,56 @@ def _op_from_matrix(L) -> Tuple[GraphOperator, np.ndarray, Optional[np.ndarray]]
     return build_operator(idx, n), w, chain_w
 
 
+def _normalized_fiedler(L, X, tol: float, maxiter: int):
+    """Fiedler pair of the NORMALIZED Laplacian N = D^{-1/2} L D^{-1/2}.
+
+    The reference's normalized branch is broken (undefined `L`,
+    mac/utils/cholesky.py:316); this is a working TPU-native version.
+    Approach: apply N matrix-free through the similarity transform
+    (never materializing it), run the same TRACEMIN engine with the
+    nullspace generalized to u = D^{1/2}1/||D^{1/2}1||, and precondition
+    with the two-grid V-cycle of L conjugated back through D^{1/2}
+    (M_N^{-1} = D^{1/2} M_L^{-1} D^{1/2}, exact if M_L were L).
+    Eigenvalues of N lie in [0, 2], so the nullspace shift is the
+    constant 2.
+    """
+    n = L.shape[0]
+    dtype = X.dtype
+    d = np.asarray(L.diagonal() if sp.issparse(L) else np.diag(np.asarray(L)),
+                   dtype=np.float64)
+    if np.any(d <= 0):
+        raise ValueError(
+            "normalized Laplacian needs strictly positive degrees; "
+            f"min diagonal = {d.min()} (isolated node?)")
+    s_host = 1.0 / np.sqrt(d)
+    if n <= DENSE_EIGH_MAX_N:
+        Ld = np.asarray(L.todense() if sp.issparse(L) else L, dtype=np.float64)
+        N = s_host[:, None] * Ld * s_host[None, :]
+        evals, vecs = np.linalg.eigh((N + N.T) / 2)
+        q = X.shape[1]
+        Xb = jnp.asarray(vecs[:, 1:q + 1], dtype)
+        return (jnp.asarray(evals[1], dtype), Xb[:, 0], Xb)
+
+    op, w, _ = _op_from_matrix(L)
+    w = jnp.asarray(w, dtype=dtype)
+    s = jnp.asarray(s_host, dtype)
+    sqd = jnp.asarray(np.sqrt(d), dtype)
+    u = jnp.asarray(np.sqrt(d) / np.linalg.norm(np.sqrt(d)), dtype)
+
+    def apply_N(V):
+        return s[:, None] * lap_apply(op, w, s[:, None] * V)
+
+    Minv_L = _twogrid.make_twogrid_precond(
+        op, w, lambda V: lap_apply(op, w, V))
+
+    def Minv_N(B):
+        return sqd[:, None] * Minv_L(sqd[:, None] * B)
+
+    res = tracemin_fiedler(apply_N, jnp.asarray(X, dtype), jnp.asarray(2.0, dtype),
+                           Minv_N, tol=tol, maxiter=maxiter, nullvec=u)
+    return res.lam[0], res.X[:, 0], res.X
+
+
 def find_fiedler_pair(
     L,
     X=None,
@@ -227,6 +277,7 @@ def find_fiedler_pair(
     tol: float = 1e-8,
     seed=None,
     maxiter: int = 1000,
+    normalized: bool = False,
 ):
     """Compute (lambda_2(L), v_2(L), X-block) from a host Laplacian.
 
@@ -238,6 +289,9 @@ def find_fiedler_pair(
     method: 'tracemin' (default), 'lobpcg', 'dense', or the reference
        names 'tracemin_lu' / 'tracemin_cholesky' (mapped to 'tracemin').
     seed: optional numpy RandomState for the initial block.
+    normalized: solve on the normalized Laplacian D^{-1/2} L D^{-1/2}
+       instead (a capability the reference advertises but whose
+       implementation is broken — see _normalized_fiedler).
 
     Returns (sigma_0, X[:, 0], X) — reference: fiedler.py:44.
     """
@@ -256,6 +310,9 @@ def find_fiedler_pair(
     if method in ("tracemin_lu", "tracemin_cholesky"):
         method = "tracemin"
 
+    if normalized:
+        return _normalized_fiedler(L, X, tol, maxiter)
+
     op, w, chain_w = _op_from_matrix(L)
     w = jnp.asarray(w, dtype=dtype)
     if chain_w is not None:
@@ -269,14 +326,12 @@ def tracemin_fiedler_cholesky(L, X=None, normalized=False, tol=1e-8):
     """Reference-name parity wrapper (mac/utils/cholesky.py:137-240): the
     reference's 'tracemin_cholesky' solver is a TRACEMIN iteration with
     CHOLMOD inner solves; here every tracemin path runs the TPU-native
-    preconditioned engine. `normalized` is not supported (the reference's
-    own normalized branch references an undefined variable — a latent
-    reference bug, cholesky.py:316)."""
-    if normalized:
-        raise NotImplementedError(
-            "normalized Laplacian tracemin is unsupported (the reference's "
-            "branch is itself broken: undefined `L`, cholesky.py:316)")
-    lam, v, X = find_fiedler_pair(L, X=X, method="tracemin_cholesky", tol=tol)
+    preconditioned engine. `normalized=True` WORKS here (the reference's
+    own normalized branch is broken — undefined `L`, cholesky.py:316):
+    it solves on D^{-1/2} L D^{-1/2} via the similarity-transformed
+    matrix-free apply (see _normalized_fiedler)."""
+    lam, v, X = find_fiedler_pair(L, X=X, method="tracemin_cholesky", tol=tol,
+                                  normalized=normalized)
     import numpy as _np
 
     return _np.array([float(lam)]), _np.asarray(X).T

@@ -91,6 +91,68 @@ def test_disconnected_graph_lambda2_zero():
     assert np.isclose(float(lam), 0.0, atol=1e-9)
 
 
+def test_normalized_dense_vs_networkx():
+    # Small n hits the exact dense path: lambda_2 of the NORMALIZED
+    # Laplacian must match networkx. (The reference advertises
+    # normalized=True but its branch is broken — cholesky.py:316.)
+    rng = np.random.RandomState(3)
+    G = nx.petersen_graph()
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.1 + rng.rand()
+    L = weight_graph_lap_from_edge_list(nx_to_mac(G), 10)
+    lam, v, X = find_fiedler_pair(L, normalized=True)
+    N = nx.normalized_laplacian_matrix(G, nodelist=range(10)).toarray()
+    expected = np.sort(np.linalg.eigvalsh((N + N.T) / 2))[1]
+    assert np.isclose(float(lam), expected, rtol=1e-10)
+    # Eigenvector is orthogonal to the D^{1/2}1 nullvec, not to 1.
+    sqd = np.sqrt(L.diagonal())
+    assert abs(float(sqd @ np.asarray(v))) < 1e-8
+
+
+def test_normalized_iterative_vs_scipy():
+    # n > DENSE_EIGH_MAX_N forces the matrix-free similarity-transformed
+    # TRACEMIN path with the generalized nullvec.
+    rng = np.random.RandomState(11)
+    n = 300
+    G = nx.path_graph(n)
+    while G.number_of_edges() < n - 1 + 50:
+        i, j = rng.randint(0, n, 2)
+        if abs(int(i) - int(j)) > 1:
+            G.add_edge(int(i), int(j))
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.5 + rng.rand()
+    L = weight_graph_lap_from_edge_list(nx_to_mac(G), n)
+    lam, v, _ = find_fiedler_pair(L, normalized=True, tol=1e-10)
+    d = np.asarray(L.diagonal())
+    s = 1.0 / np.sqrt(d)
+    Nd = s[:, None] * L.toarray() * s[None, :]
+    expected = np.sort(np.linalg.eigvalsh((Nd + Nd.T) / 2))[1]
+    assert np.isclose(float(lam), expected, rtol=1e-7)
+    v = np.asarray(v)
+    r = Nd @ v - float(lam) * v
+    assert np.linalg.norm(r) < 1e-6
+
+
+def test_normalized_parity_wrapper():
+    # tracemin_fiedler_cholesky(normalized=True) works end-to-end
+    # (reference-name surface; the reference's own branch raises NameError).
+    from mac_tpu.utils.fiedler import tracemin_fiedler_cholesky
+
+    G = nx.complete_graph(6)
+    L = weight_graph_lap_from_edge_list(nx_to_mac(G), 6)
+    sigma, XT = tracemin_fiedler_cholesky(L, normalized=True)
+    # K_n normalized Laplacian: lambda_2 = n/(n-1).
+    assert np.isclose(sigma[0], 6.0 / 5.0, rtol=1e-10)
+    assert XT.shape[1] == 6
+
+
+def test_normalized_isolated_node_raises():
+    G = nx.complete_graph(4)
+    L = weight_graph_lap_from_edge_list(nx_to_mac(G), 5)  # node 4 isolated
+    with pytest.raises(ValueError):
+        find_fiedler_pair(L, normalized=True)
+
+
 def test_iterative_ell_path_vs_scipy_and_warm_start():
     # Path + random loop closures, forced onto the ELL + LOBPCG path
     # (auto mode would pick dense at this size). One compile, three checks:
