@@ -365,8 +365,15 @@ NS_COARSE_STEPS = 3  # Newton-Schulz refinement steps per warm rebuild
 
 def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
                         smoother: str = "chain", prev_state=None,
-                        use_prev=None, return_state: bool = False):
+                        use_prev=None, return_state: bool = False,
+                        kind: Optional[str] = None):
     """Two-level symmetric preconditioner for L(w) restricted to 1^perp.
+
+    kind: 'mult' (multiplicative V-cycle, the measured default) or
+    'additive' (M^-1 = S + P Lc^-1 R — ~2x cheaper per application, two
+    permutation gathers instead of six, but measured too weak in MAC's
+    loop: 145 vs 92 outer iterations on city10000); None defers to the
+    module default PRECOND_KIND.
 
     prev_state / use_prev / return_state: warm-rebuild protocol. When
     `prev_state` (a PrecondState) is given, the coarse inverse is chosen by
@@ -574,7 +581,9 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         xc = jnp.dot(Lc_inv, restrict(B), preferred_element_type=dtype)
         return center(x + prolong(xc))
 
-    chosen = precond_additive if PRECOND_KIND == "additive" else precond
+    if kind is None:
+        kind = PRECOND_KIND
+    chosen = precond_additive if kind == "additive" else precond
     if return_state:
         return chosen, PrecondState(Lc_inv=Lc_inv)
     return chosen

@@ -73,7 +73,14 @@ def host_tracemin_fiedler(
         r = W[:, 0] - lam[0] * X[:, 0]
         legacy = np.abs(r).sum() / lnorm
         rres = np.linalg.norm(r) / max(lam[0], 1e-300)
-        if legacy < tol or rres < rel_tol:
+        # Same gating as the device engine (ops/lobpcg.py cond): the legacy
+        # criterion ||r||_1/||L||_inf only counts when the eigenvalue-
+        # relative residual is also sane — on tiny-lambda_2 graphs
+        # (ais2klinik: lambda_2/||L|| ~ 1e-8, exactly this path's clients)
+        # legacy underflows any tolerance while the eigenpair is still
+        # poor. A plain OR here was measured-loose by ~5 orders of
+        # magnitude in rres.
+        if (legacy < tol and rres < 2.0) or rres < rel_tol:
             converged = True
             break
         # Exact inverse iteration on the grounded system; re-center to

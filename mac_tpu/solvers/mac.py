@@ -127,11 +127,15 @@ def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
         # Stage 2: uncertified. Small graphs get the precise shift-invert
         # Lanczos decision (tol=1e-3/maxiter=300 — ample: the measured
         # escalation cases sit ~10x under the threshold: kitti_02 3.8e-7,
-        # ais2klinik 1.1e-8 vs 1.2e-5); large uncertified graphs escalate
-        # to float64 conservatively — at that scale a ratio too small to
-        # certify is also too small to trust float32 with.
-        if n > 50000:
-            # No exact stage-2 solve is feasible here. A Weinstein bound
+        # ais2klinik 1.1e-8 vs 1.2e-5); larger uncertified graphs decide
+        # from the Weinstein bound alone — a ratio too small to certify at
+        # that scale is also too small to trust float32 with.
+        # The cutoff is 20000, BELOW the measured shift-invert stall
+        # (splu fill was 131 s at n=3e4 with random long-range loop
+        # closures); every bundled escalation case (kitti_02 n=4661,
+        # kitti_05 n=2761, ais2klinik n=15115) stays on the exact branch.
+        if n > 20000:
+            # No exact stage-2 solve is affordable here. A Weinstein bound
             # that clears the threshold without the 3x fast-accept margin
             # still justifies float32 (the compromise of the heuristic
             # bound, documented above); anything below escalates.
@@ -428,6 +432,10 @@ class MAC:
             fiedler_rel_tol = 3e-2
         if fiedler_coeff_dtype is None and fast32:
             fiedler_coeff_dtype = jnp.float32
+        # Remember which knobs the USER set (vs the auto policy): the
+        # automatic solve() policy may only override auto-resolved values.
+        self._warm_maxiter_user_set = fiedler_warm_maxiter is not None
+        self._tail_average_user_set = fw_tail_average is not None
         if fiedler_warm_maxiter is None and fast32 and n >= 4096:
             # Inexact Frank-Wolfe: warm-started steps cap the eigensolver
             # at 5 outer iterations (measured on city10000: 0.69 -> 0.48 s
@@ -507,20 +515,32 @@ class MAC:
     def _mask(self, x: jax.Array) -> jax.Array:
         return jnp.where(x > self.min_selection_weight_tol, x, 0.0)
 
+    def _warm_cap(self, schedule, step):
+        """Eigensolver outer-iteration cap at warm FW step `step` under a
+        ((from_step, cap), ...) schedule; the cold step 0 always gets the
+        full budget. Shared by _fw_impl and _fw_dynamic_impl so solve()
+        and solve_sweep() iteration budgets cannot desynchronize."""
+        mi = jnp.asarray(self.fiedler_maxiter, jnp.int32)
+        for from_step, cap in schedule:
+            mi = jnp.where(step >= from_step, jnp.int32(cap), mi)
+        return jnp.where(step == 0, self.fiedler_maxiter, mi)
+
     def _w_all(self, params, x: jax.Array) -> jax.Array:
         op, w_fixed, w_cand, chain_w, banded = params
         return jnp.concatenate([w_fixed, self._mask(x) * w_cand])
 
     def _fiedler(self, params, w_all: jax.Array, X: jax.Array, maxiter=None,
                  pstate=None, use_prev=None, want_pstate: bool = False,
-                 rel_tol=None, lam0=None, warm_init=None):
+                 rel_tol=None):
+        # (The engine's warm-entry knob — fiedler_pair_op(lam0=...,
+        # warm_init=...) — is deliberately NOT plumbed here: skipping the
+        # entry Rayleigh-Ritz was measured to cost 0.8-3e-3 of relaxed
+        # objective on city10000 for ~7 ms; see the note in _fw_impl.)
         op, w_fixed, w_cand, chain_w, banded = params
         return _fiedler.fiedler_pair_op(
             op,
             w_all,
             X,
-            lam0=lam0,
-            warm_init=warm_init,
             tol=self.fiedler_tol,
             maxiter=self.fiedler_maxiter if maxiter is None else maxiter,
             inner_iters=self.fiedler_inner_iters,
@@ -588,13 +608,12 @@ class MAC:
         return jax.vmap(lambda x: self._eval_impl(params, x, X0))(xs)
 
     def _problem_impl(self, params, x, X, maxiter=None, pstate=None,
-                      use_prev=None, lam0=None, warm_init=None):
+                      use_prev=None):
         op, w_fixed, w_cand, chain_w, banded = params
         want_pstate = pstate is not None
         out = self._fiedler(params, self._w_all(params, x), X,
                             maxiter=maxiter, pstate=pstate,
-                            use_prev=use_prev, want_pstate=want_pstate,
-                            lam0=lam0, warm_init=warm_init)
+                            use_prev=use_prev, want_pstate=want_pstate)
         res, pstate_new = out if want_pstate else (out, None)
         v = res.X[:, 0]
         m_fixed = op.m - w_cand.shape[0]
@@ -611,7 +630,7 @@ class MAC:
             d = v[ci] - v[cj]
             grad = w_cand * d * d
         if want_pstate:
-            return res.lam[0], grad, res.X, res.iters, pstate_new, res.lam
+            return res.lam[0], grad, res.X, res.iters, pstate_new
         return res.lam[0], grad, res.X, res.iters
 
     def _fw_impl(
@@ -640,12 +659,7 @@ class MAC:
         # cache-off runs use the full budget.
         if schedule is None or not use_cache:
             schedule = ((1, self.fiedler_maxiter),)
-
-        def warm_cap_at(step):
-            mi = jnp.asarray(self.fiedler_maxiter, jnp.int32)
-            for from_step, cap in schedule:
-                mi = jnp.where(step >= from_step, jnp.int32(cap), mi)
-            return jnp.where(step == 0, self.fiedler_maxiter, mi)
+        warm_cap_at = lambda step: self._warm_cap(schedule, step)
 
         # Carryable preconditioner state (banded path): the coarse inverse
         # is Cholesky-built on the cold step and Newton-Schulz-refreshed on
@@ -661,7 +675,7 @@ class MAC:
             pstate0 = None
 
         def problem(x, state):
-            X, lam, fiters, step, pstate = state
+            X, fiters, step, pstate = state
             # (A full-budget LAST step was tried and reverted: measured
             # identical objective at +15 outer iterations — the final x is
             # shaped by the whole trajectory, not the last gradient.)
@@ -679,14 +693,14 @@ class MAC:
                 # objective lost; the cold entry's project+orth+RR against
                 # each step's operator is load-bearing for trajectory
                 # quality.)
-                f, grad, Xres, iters, pstate, lam = self._problem_impl(
+                f, grad, Xres, iters, pstate = self._problem_impl(
                     params, x, X, maxiter=mi, pstate=pstate,
                     use_prev=step >= 4)
             else:
                 f, grad, Xres, iters = self._problem_impl(
                     params, x, X, maxiter=mi)
             Xnew = Xres if use_cache else X0
-            return f, grad, (Xnew, lam, fiters + iters, step + 1, pstate)
+            return f, grad, (Xnew, fiters + iters, step + 1, pstate)
 
         if self.mesh is not None:
             # Exact two-stage distributed top-k (local top-k per shard,
@@ -697,10 +711,9 @@ class MAC:
             solve_lp = lambda g: sharded_top_k_indicator(self.mesh, g, k)
         else:
             solve_lp = lambda g: constraints.solve_subset_box_lp(g, k)
-        lam0_carry = jnp.zeros((self._q,), self.dtype)
-        x, u, (X, _, fiters, _, _), it = frank_wolfe_with_state(
+        x, u, (X, fiters, _, _), it = frank_wolfe_with_state(
             x0,
-            (X0, lam0_carry, jnp.asarray(0, jnp.int32),
+            (X0, jnp.asarray(0, jnp.int32),
              jnp.asarray(0, jnp.int32), pstate0),
             problem,
             solve_lp,
@@ -776,7 +789,10 @@ class MAC:
                 print(f"FW iter {it}: f = {f}, gap = {u - f}")
             if np.linalg.norm(grad) < grad_norm_tol:
                 break
-            if (u - f) < relative_duality_gap_tol * abs(f):
+            # tol <= 0 disables the gap stop, matching the device loop's
+            # semantics (mac_tpu.optimization.frankwolfe).
+            if (relative_duality_gap_tol > 0
+                    and (u - f) < relative_duality_gap_tol * abs(f)):
                 break
             gamma = 2.0 / (it + 2.0)
             x = x + gamma * (s - x)
@@ -948,15 +964,20 @@ class MAC:
         if max_iters is None:
             if fast32:
                 max_iters = 40
-                if self.fiedler_warm_maxiter is None or isinstance(
-                        self.fiedler_warm_maxiter, int):
+                if not self._warm_maxiter_user_set:
+                    # Only the AUTO-resolved cap may be replaced by the
+                    # decaying schedule; a user-passed int (or tuple)
+                    # fiedler_warm_maxiter is honored as given.
                     schedule = ((1, 4), (4, 2), (10, 1))
                 if relative_duality_gap_tol is None:
                     relative_duality_gap_tol = 0.0
                 tail_avg = self.fw_tail_average
             else:
                 max_iters = 5  # the reference's default (mac.py:133)
-        elif fast32 and self.fw_tail_average and int(max_iters) >= 24:
+        elif (fast32 and self._tail_average_user_set and self.fw_tail_average
+              and int(max_iters) >= 24):
+            # Explicit max_iters keeps reference last-iterate semantics
+            # unless the user ALSO explicitly opted into tail averaging.
             tail_avg = True
         if relative_duality_gap_tol is None:
             relative_duality_gap_tol = 1e-4
@@ -1055,10 +1076,7 @@ class MAC:
 
         def problem(x, state):
             X, step = state
-            mi = jnp.asarray(self.fiedler_maxiter, jnp.int32)
-            for from_step, cap in schedule:
-                mi = jnp.where(step >= from_step, jnp.int32(cap), mi)
-            mi = jnp.where(step == 0, self.fiedler_maxiter, mi)
+            mi = self._warm_cap(schedule, step)
             f, grad, Xnew, _ = self._problem_impl(params, x, X, maxiter=mi)
             return f, grad, (Xnew, step + 1)
 

@@ -118,14 +118,16 @@ def test_banded_apply_f32_stable_on_smooth_vectors():
     assert rel < 5e-6, rel
 
 
-@pytest.mark.parametrize("smoother", ["chain", "bjacobi"])
-def test_banded_precond_symmetric_and_effective(smoother):
+@pytest.mark.parametrize("smoother,kind", [
+    ("chain", "mult"), ("bjacobi", "mult"), ("chain", "additive"),
+])
+def test_banded_precond_symmetric_and_effective(smoother, kind):
     idx, w, n = _pose_graph()
     bop, ridx = build_banded_rcm(idx, n, dtype=jnp.float64)
     assert bop is not None
     wj = jnp.asarray(w, jnp.float64)
     BD = assemble_bd(bop, wj)
-    M = make_banded_precond(bop, BD, w=wj, smoother=smoother)
+    M = make_banded_precond(bop, BD, w=wj, smoother=smoother, kind=kind)
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.normal(size=(n, 1)))
     y = jnp.asarray(rng.normal(size=(n, 1)))
@@ -133,6 +135,15 @@ def test_banded_precond_symmetric_and_effective(smoother):
     ip1 = float(jnp.sum(mx * y))
     ip2 = float(jnp.sum(x * my))
     assert abs(ip1 - ip2) < 1e-8 * max(abs(ip1), 1.0)
+
+    if kind == "additive":
+        # M^-1 = S + P Lc^-1 R double-counts smooth components, so a raw
+        # Richardson step is not a contraction — additive is a CG/Krylov
+        # preconditioner only. Assert positive definiteness on probes.
+        for _ in range(4):
+            z = jnp.asarray(rng.normal(size=(n, 1)))
+            assert float(jnp.sum(z * M(z))) > 0.0
+        return
 
     # Effectiveness: one preconditioned Richardson step on L u = b (with b
     # centered) must beat plain diagonal scaling by a wide margin.
