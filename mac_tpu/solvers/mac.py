@@ -244,6 +244,7 @@ class MAC:
         assert (n - 1) <= num_edges
         assert num_edges <= 0.5 * n * (n - 1)
 
+        self.auto_dtype_reason = None
         if dtype is None:
             dtype = _fiedler.default_dtype()
             if dtype == jnp.float32:
@@ -290,12 +291,20 @@ class MAC:
 
         # Eigensolver execution backend: 'device' (the jitted JAX engine)
         # or 'host' (numpy + scipy splu — mac_tpu.ops.host_tracemin).
-        # None = automatic: 'host' exactly for the float64-escalated
-        # instances already pinned to the in-process CPU backend (tiny,
-        # ill-conditioned graphs where XLA-CPU per-op latency dominates
-        # and a sparse direct factorization is essentially free).
+        # None = automatic: 'host' exactly for the PROBE-ESCALATED float64
+        # instances without a mesh — the tiny, ill-conditioned graphs
+        # where XLA per-op latency dominates and a sparse direct
+        # factorization is essentially free (measured: kitti_02 0.018 s
+        # host vs 0.13 s XLA-CPU vs 0.37 s TPU). Keyed on the escalation
+        # itself rather than on the TPU pin (robust if the CPU-pin lookup
+        # fails); instances that are float64 merely because the session
+        # default is float64 (CPU sessions never run the probe) keep the
+        # device engine — pass fiedler_backend='host' to opt in there.
         if fiedler_backend is None:
-            fiedler_backend = "host" if self._device is not None else "device"
+            fiedler_backend = (
+                "host" if (self.auto_dtype_reason is not None
+                           and mesh is None)
+                else "device")
         assert fiedler_backend in ("device", "host")
         self.fiedler_backend = fiedler_backend
 
