@@ -280,20 +280,61 @@ def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
     (n_pad, half*BS) band table and 46.7 ms gathering all block slots
     directly (TPU gathers run ~0.14-0.5 element/ns — output-size bound)."""
     dtype = w.dtype
-    n_pad, half, nb = bop.n_pad, bop.half, bop.nb
-    W = BS * (half + 2)
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
     wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        up = _assemble_up_fused_op(bop, wu)
+    else:
+        up = _assemble_up_xla(bop, wu)
+    return BDRep(up=up, deg=_deg_from_up(up))
+
+
+def _assemble_up_xla(bop: BandedOperator, wu: jax.Array) -> jax.Array:
+    """XLA sheared accumulation (see assemble_bd docstring): materialize
+    Sh (n_pad, W) with du iota-compare passes, then slice/stack the upper
+    block diagonals."""
+    dtype = wu.dtype
+    n_pad, half, nb = bop.n_pad, bop.half, bop.nb
+    W = BS * (half + 2)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, W), 1)
     Sh = jnp.zeros((n_pad, W), dtype)
-    for kslot in range(bop.ueid_tbl.shape[1]):
+    for kslot in range(wu.shape[1]):
         Sh = Sh + wu[:, kslot:kslot + 1] * (
             cols == bop.dcol_tbl[:, kslot:kslot + 1])
-    up = jnp.stack(
+    return jnp.stack(
         [Sh[:, BS * (t + 1): BS * (t + 2)].reshape(nb, BS, BS)
          for t in range(half + 1)], axis=0)
-    # deg_i = -(row sums + column sums over the uppers); the column-sum
-    # contribution of up[t] lands t blocks BELOW (lower-diagonal symmetry).
+
+
+@jax.custom_batching.custom_vmap
+def _assemble_up_fused_op(bop: BandedOperator, wu: jax.Array) -> jax.Array:
+    """Fused Pallas assembly of the upper block diagonals (TPU f32): each
+    node block's sheared rows live only in VMEM and the (half+1, nb, BS,
+    BS) tensor is written directly — no HBM Sh intermediate and no
+    slice/stack expansion (measured ~2 ms -> ~0.1 ms per weight update on
+    city10000)."""
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_up_fused
+
+    return assemble_up_fused(bop.dcol_tbl, wu, half=bop.half, nb=bop.nb)
+
+
+def _assemble_fused_batch_rule(axis_size, in_batched, bop, wu):
+    """Under vmap (budget sweeps) fall back to the XLA sheared path —
+    Mosaic cannot lower Pallas kernels through vmap's loop batching (same
+    constraint as the tridiag kernels in mac_tpu.ops.tridiag)."""
+    out = jax.vmap(lambda w_: _assemble_up_xla(bop, w_))(wu)
+    return out, True
+
+
+_assemble_up_fused_op.def_vmap(_assemble_fused_batch_rule)
+
+
+def _deg_from_up(up: jax.Array) -> jax.Array:
+    """deg_i = -(row sums + column sums over the uppers); the column-sum
+    contribution of up[t] lands t blocks BELOW (lower-diagonal symmetry)."""
+    dtype = up.dtype
+    half = up.shape[0] - 1
+    nb = up.shape[1]
     rowsum = jnp.sum(up, axis=3)          # (half+1, nb, BS)
     colsum = jnp.sum(up, axis=2)          # (half+1, nb, BS)
     deg = -rowsum[0] - colsum[0]
@@ -301,7 +342,7 @@ def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
         deg = deg - rowsum[t]
         deg = deg - jnp.concatenate(
             [jnp.zeros((t, BS), dtype), colsum[t][: nb - t]], axis=0)
-    return BDRep(up=up, deg=deg)
+    return deg
 
 
 def banded_apply(bop: BandedOperator, BD, V: jax.Array,

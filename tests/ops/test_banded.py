@@ -118,6 +118,27 @@ def test_banded_apply_f32_stable_on_smooth_vectors():
     assert rel < 5e-6, rel
 
 
+def test_assemble_fused_kernel_matches_xla():
+    """The Pallas assembly kernel (interpret mode on CPU) must reproduce
+    the XLA sheared path bit-for-bit — both are sums of disjoint slot
+    contributions in slot order."""
+    from mac_tpu.ops.banded import _assemble_up_xla
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_up_fused
+
+    idx, w, n = _pose_graph(n=700, n_loops=260)
+    perm, inv, bw = rcm_order(idx, n)
+    bop = build_banded(inv[idx].astype(np.int32), n, dtype=jnp.float32)
+    assert bop is not None
+    w32 = jnp.asarray(w, jnp.float32)
+    w_pad = jnp.concatenate([-w32, jnp.zeros((1,), jnp.float32)])
+    wu = w_pad[bop.ueid_tbl]
+    ref = np.asarray(_assemble_up_xla(bop, wu))
+    got = np.asarray(assemble_up_fused(bop.dcol_tbl, wu, half=bop.half,
+                                       nb=bop.nb, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("smoother,kind", [
     ("chain", "mult"), ("bjacobi", "mult"), ("chain", "additive"),
 ])
