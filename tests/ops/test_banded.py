@@ -139,6 +139,24 @@ def test_assemble_fused_kernel_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_assemble_fused_vmap_falls_back_to_xla():
+    """vmapping the fused assembly op (budget sweeps) must route through
+    the XLA batch rule and match per-lane XLA assembly."""
+    from mac_tpu.ops.banded import _assemble_up_fused_op, _assemble_up_xla
+
+    idx, w, n = _pose_graph(n=700, n_loops=120)
+    perm, inv, bw = rcm_order(idx, n)
+    bop = build_banded(inv[idx].astype(np.int32), n, dtype=jnp.float32)
+    assert bop is not None
+    rng = np.random.RandomState(5)
+    ws = jnp.asarray(0.5 + rng.rand(3, len(w)), jnp.float32)
+    w_pad = jnp.concatenate([-ws, jnp.zeros((3, 1), jnp.float32)], axis=1)
+    wus = w_pad[:, bop.ueid_tbl]
+    got = jax.vmap(lambda wu: _assemble_up_fused_op(bop, wu))(wus)
+    ref = jnp.stack([_assemble_up_xla(bop, wus[i]) for i in range(3)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("smoother,kind", [
     ("chain", "mult"), ("bjacobi", "mult"), ("chain", "additive"),
 ])
