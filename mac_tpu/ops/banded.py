@@ -257,7 +257,8 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     )
 
 
-def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
+def assemble_bd(bop: BandedOperator, w: jax.Array,
+                fused: Optional[bool] = None) -> jax.Array:
     """Assemble BD(w): the UPPER block diagonals of L(w) + the degree
     vector — a BDRep(up (half+1, nb, BS, BS), deg (nb, BS)).
 
@@ -278,14 +279,18 @@ def assemble_bd(bop: BandedOperator, w: jax.Array) -> jax.Array:
     work and ~40% of the apply's memory traffic. Measured assembly on
     city10000: ~2 ms per weight update, vs 19 ms gathering a compact
     (n_pad, half*BS) band table and 46.7 ms gathering all block slots
-    directly (TPU gathers run ~0.14-0.5 element/ns — output-size bound)."""
+    directly (TPU gathers run ~0.14-0.5 element/ns — output-size bound).
+
+    fused: None = automatic (the Pallas VMEM kernel on TPU float32 — see
+    mac_tpu.ops.pallas.assemble_kernel — XLA sheared path elsewhere).
+    Pass False explicitly under a device mesh: XLA cannot partition the
+    Pallas custom call across a 'graph'-sharded output."""
     dtype = w.dtype
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
     wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
-    if jax.default_backend() == "tpu" and dtype == jnp.float32:
-        up = _assemble_up_fused_op(bop, wu)
-    else:
-        up = _assemble_up_xla(bop, wu)
+    if fused is None:
+        fused = jax.default_backend() == "tpu" and dtype == jnp.float32
+    up = _assemble_up_fused_op(bop, wu) if fused else _assemble_up_xla(bop, wu)
     return BDRep(up=up, deg=_deg_from_up(up))
 
 

@@ -972,7 +972,11 @@ class MAC:
         tail_avg = False
         if max_iters is None:
             if fast32:
-                max_iters = 40
+                # Small graphs take MORE cheap steps: their per-step cost
+                # is tiny and the Frank-Wolfe tail is what closes the last
+                # ~5e-5 of relaxed objective (intel, n=1728: 40 steps
+                # -1.05e-4 vs reference, 64 steps -7.8e-5, 96 -5.8e-5).
+                max_iters = 40 if self.num_nodes >= 4096 else 64
                 if not self._warm_maxiter_user_set:
                     # Only the AUTO-resolved cap may be replaced by the
                     # decaying schedule; a user-passed int (or tuple)

@@ -133,7 +133,10 @@ def fiedler_pair_op(
         # mac_tpu.ops.banded). Exact f32 semantics via precision=HIGHEST.
         from mac_tpu.ops import banded as _banded
 
-        BD = _banded.assemble_bd(banded, w)
+        # Under a mesh the Pallas assembly kernel is disabled: XLA cannot
+        # partition the custom call across the 'graph'-sharded up tensor.
+        BD = _banded.assemble_bd(
+            banded, w, fused=False if banded_shardings is not None else None)
         if banded_shardings is not None:
             # Multi-chip: constrain the block-row tensors 'graph'-sharded;
             # XLA partitions the batched-matmul apply across devices.
