@@ -112,7 +112,15 @@ def main():
     timeit("RR step f64 coeffs q12", rr64, V12, reps=50)
     timeit("RR step f32 coeffs q12", rr32, V12, reps=50)
 
-    timeit("assemble_bd", lambda w: B.assemble_bd(bop, w), w, reps=50)
+    timeit("assemble_bd (auto)", lambda w: B.assemble_bd(bop, w), w, reps=50)
+    timeit("assemble_bd fused=True",
+           lambda w: B.assemble_bd(bop, w, fused=True), w, reps=50)
+    timeit("assemble_bd fused=False (XLA)",
+           lambda w: B.assemble_bd(bop, w, fused=False), w, reps=50)
+
+    from mac_tpu.ops.tridiag import tridiag_ldl_blocked
+    timeit("chain tridiag_ldl_blocked(128)",
+           lambda d: tridiag_ldl_blocked(d, e_, block=128).dp, d_, reps=50)
 
     def build_and_touch(w):
         BD2 = B.assemble_bd(bop, w)
