@@ -412,7 +412,7 @@ NS_COARSE_STEPS = 3  # Newton-Schulz refinement steps per warm rebuild
 def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
                         smoother: str = "chain", prev_state=None,
                         use_prev=None, return_state: bool = False,
-                        kind: Optional[str] = None):
+                        kind: Optional[str] = None, rebuild=None):
     """Two-level symmetric preconditioner for L(w) restricted to 1^perp.
 
     kind: 'mult' (multiplicative V-cycle, the measured default) or
@@ -426,6 +426,14 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
     the traced boolean `use_prev`: False -> cold Cholesky build, True ->
     Newton-Schulz refinement of prev_state.Lc_inv (see PrecondState). With
     `return_state=True` the call returns (precond_fn, PrecondState).
+
+    rebuild: optional traced boolean (requires prev_state). False skips
+    the coarse level's work ENTIRELY for this step — no Lc = R^T(L R)
+    assembly, no Newton-Schulz — and reuses prev_state.Lc_inv as-is. The
+    chain smoother is still refactored against the current weights, so
+    only the coarse correction lags by the Frank-Wolfe step size — a
+    preconditioner-grade perturbation on late warm steps. None (default)
+    = always rebuild (the pre-round-3 behavior).
 
     Smoothers:
       * 'chain' (default; requires `w`): exact tridiagonal solve of the
@@ -495,41 +503,50 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         Dinv = jnp.einsum("bij,bkj->bik", Rinv, Rinv,
                           preferred_element_type=dtype)  # (nb, BS, BS)
 
-    # --- coarse operator Lc = R^T (L R): one banded apply on nc columns.
-    # DEFAULT precision: Lc is preconditioner-internal; ~1e-3 relative
-    # error on the coarse operator is invisible to convergence and the
-    # single-pass product is ~3x cheaper on the nc-column apply.
-    LR = banded_apply(bop, BD, bop.R[:n].astype(dtype),
-                      precision=jax.lax.Precision.DEFAULT)
-    # Restrict rows through the permutation: aggregates live in the
-    # original ordering (R's columns), rows of LR in RCM order.
-    LRn = LR[bop.iperm]
-    LRp = jnp.concatenate(
-        [LRn, jnp.zeros((nc * s - n, nc), dtype)], axis=0)
-    Lc = LRp.reshape(nc, s, nc).sum(axis=1)
-    Lc = (Lc + Lc.T) / 2
-    # Rank-one constant-mode shift makes Lc SPD (same trick as the
-    # eigensolver); the inverse is a *preconditioner* component, f32 is fine.
-    cshift = 2.0 * jnp.max(jnp.diag(Lc)) + 1.0
-    # The diagonal jitter must dominate the ASSEMBLY error, not machine
-    # eps: Lc comes from a DEFAULT-precision (single bf16 pass) product,
-    # whose ~1e-3-relative asymmetric error can push the exact-arithmetic-
-    # PSD matrix indefinite — observed as a NaN Cholesky -> NaN eigensolve
-    # on sphere2500's rounded selection. 1% diagonal inflation is invisible
-    # to a preconditioner.
-    jit_c = 1e-2 * (jnp.trace(Lc) / nc) + 100 * eps
-    Lc_reg = (Lc + (cshift / nc) * jnp.ones((nc, nc), dtype)
-              + jit_c * jnp.eye(nc, dtype=dtype))
+    def _assemble_Lc_reg():
+        # --- coarse operator Lc = R^T (L R): one banded apply on nc
+        # columns. DEFAULT precision: Lc is preconditioner-internal; ~1e-3
+        # relative error on the coarse operator is invisible to convergence
+        # and the single-pass product is ~3x cheaper on the nc-column apply.
+        LR = banded_apply(bop, BD, bop.R[:n].astype(dtype),
+                          precision=jax.lax.Precision.DEFAULT)
+        # Restrict rows through the permutation: aggregates live in the
+        # original ordering (R's columns), rows of LR in RCM order.
+        LRn = LR[bop.iperm]
+        LRp = jnp.concatenate(
+            [LRn, jnp.zeros((nc * s - n, nc), dtype)], axis=0)
+        Lc = LRp.reshape(nc, s, nc).sum(axis=1)
+        Lc = (Lc + Lc.T) / 2
+        # Rank-one constant-mode shift makes Lc SPD (same trick as the
+        # eigensolver); the inverse is a *preconditioner* component, f32 is
+        # fine.
+        cshift = 2.0 * jnp.max(jnp.diag(Lc)) + 1.0
+        # The diagonal jitter must dominate the ASSEMBLY error, not machine
+        # eps: Lc comes from a DEFAULT-precision (single bf16 pass) product,
+        # whose ~1e-3-relative asymmetric error can push the
+        # exact-arithmetic-PSD matrix indefinite — observed as a NaN
+        # Cholesky -> NaN eigensolve on sphere2500's rounded selection. 1%
+        # diagonal inflation is invisible to a preconditioner.
+        jit_c = 1e-2 * (jnp.trace(Lc) / nc) + 100 * eps
+        return (Lc + (cshift / nc) * jnp.ones((nc, nc), dtype)
+                + jit_c * jnp.eye(nc, dtype=dtype))
 
-    def _chol_inverse(_):
+    def _chol_from(Lc_reg):
         Rc = jnp.linalg.cholesky(Lc_reg, upper=True)
         Rc_inv = jax.scipy.linalg.solve_triangular(
             Rc, jnp.eye(nc, dtype=dtype), lower=False)
         return Rc_inv @ Rc_inv.T
 
-    if prev_state is None:
-        Lc_inv = _chol_inverse(None)
-    else:
+    def _refresh(Xp):
+        """Assemble Lc_reg and produce this step's coarse inverse (cold
+        Cholesky or Newton-Schulz refinement of Xp, by `use_prev`). The
+        assembly lives INSIDE this function so a rebuild=False step skips
+        it entirely (it is the dominant coarse cost: the nc-column apply)."""
+        Lc_reg = _assemble_Lc_reg()
+
+        def _chol_inverse(_):
+            return _chol_from(Lc_reg)
+
         def _ns_refine(Xp):
             # Newton-Schulz from the previous FW step's inverse (exact-f32
             # MXU accumulation — the iteration is itself error-correcting,
@@ -561,8 +578,17 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
                                  resid(X) < resid(X0))
             return jnp.where(ok, X, X0)
 
+        if use_prev is None:
+            return _chol_inverse(Xp)
+        return jax.lax.cond(use_prev, _ns_refine, _chol_inverse, Xp)
+
+    if prev_state is None:
+        Lc_inv = _chol_from(_assemble_Lc_reg())
+    elif rebuild is None:
+        Lc_inv = _refresh(prev_state.Lc_inv)
+    else:
         Lc_inv = jax.lax.cond(
-            use_prev, _ns_refine, _chol_inverse, prev_state.Lc_inv)
+            rebuild, _refresh, lambda Xp: Xp, prev_state.Lc_inv)
 
     # bf16-pass operator copy for preconditioner-internal residuals.
     def apply_fast(V):

@@ -223,6 +223,7 @@ class MAC:
         fiedler_precond=None,
         fiedler_backend=None,
         mesh_apply=None,
+        precond_refresh_period: int = 1,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
         the Laplacian product row-blocks across devices
@@ -235,7 +236,13 @@ class MAC:
 
         `use_banded`: force the block-banded MXU operator path on/off
         (mac_tpu.ops.banded). None = automatic: enabled on the TPU float32
-        path when the graph admits a narrow RCM band."""
+        path when the graph admits a narrow RCM band.
+
+        `precond_refresh_period`: coarse-preconditioner refresh cadence on
+        warm Frank-Wolfe steps (banded path): 1 = every step (default);
+        p > 1 skips the coarse assembly + Newton-Schulz on steps >= 8
+        except every p-th, reusing the carried coarse inverse (the
+        Frank-Wolfe step size bounds the drift)."""
         fixed_idx, w_fixed = edges_to_arrays(fixed_edges)
         cand_idx, w_cand = edges_to_arrays(candidate_edges)
         n = int(num_nodes)
@@ -307,6 +314,7 @@ class MAC:
                 else "device")
         assert fiedler_backend in ("device", "host")
         self.fiedler_backend = fiedler_backend
+        self.precond_refresh_period = int(precond_refresh_period)
 
         with self._device_ctx():
             self._finish_init(fixed_idx, w_fixed, cand_idx, w_cand, n,
@@ -539,8 +547,8 @@ class MAC:
         return jnp.concatenate([w_fixed, self._mask(x) * w_cand])
 
     def _fiedler(self, params, w_all: jax.Array, X: jax.Array, maxiter=None,
-                 pstate=None, use_prev=None, want_pstate: bool = False,
-                 rel_tol=None):
+                 pstate=None, use_prev=None, rebuild=None,
+                 want_pstate: bool = False, rel_tol=None):
         # (The engine's warm-entry knob — fiedler_pair_op(lam0=...,
         # warm_init=...) — is deliberately NOT plumbed here: skipping the
         # entry Rayleigh-Ritz was measured to cost 0.8-3e-3 of relaxed
@@ -562,6 +570,7 @@ class MAC:
             coeff_dtype=self.fiedler_coeff_dtype,
             banded_pstate=pstate,
             banded_use_prev=use_prev,
+            banded_rebuild=rebuild,
             return_banded_pstate=want_pstate,
             banded_shardings=self._banded_shardings,
         )
@@ -617,12 +626,13 @@ class MAC:
         return jax.vmap(lambda x: self._eval_impl(params, x, X0))(xs)
 
     def _problem_impl(self, params, x, X, maxiter=None, pstate=None,
-                      use_prev=None):
+                      use_prev=None, rebuild=None):
         op, w_fixed, w_cand, chain_w, banded = params
         want_pstate = pstate is not None
         out = self._fiedler(params, self._w_all(params, x), X,
                             maxiter=maxiter, pstate=pstate,
-                            use_prev=use_prev, want_pstate=want_pstate)
+                            use_prev=use_prev, rebuild=rebuild,
+                            want_pstate=want_pstate)
         res, pstate_new = out if want_pstate else (out, None)
         v = res.X[:, 0]
         m_fixed = op.m - w_cand.shape[0]
@@ -702,9 +712,17 @@ class MAC:
                 # objective lost; the cold entry's project+orth+RR against
                 # each step's operator is load-bearing for trajectory
                 # quality.)
+                period = int(self.precond_refresh_period)
+                # Coarse-level refresh cadence: every step while the FW
+                # step size is large (step < 8), then every `period`-th
+                # step — the skipped steps reuse the carried coarse
+                # inverse outright (banded.make_banded_precond(rebuild=)),
+                # a gamma-sized perturbation of a preconditioner.
+                rebuild = None if period <= 1 else jnp.logical_or(
+                    step < 8, step % period == 0)
                 f, grad, Xres, iters, pstate = self._problem_impl(
                     params, x, X, maxiter=mi, pstate=pstate,
-                    use_prev=step >= 4)
+                    use_prev=step >= 4, rebuild=rebuild)
             else:
                 f, grad, Xres, iters = self._problem_impl(
                     params, x, X, maxiter=mi)

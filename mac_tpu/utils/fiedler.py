@@ -87,6 +87,7 @@ def fiedler_pair_op(
     coeff_dtype=None,
     banded_pstate=None,
     banded_use_prev=None,
+    banded_rebuild=None,
     return_banded_pstate: bool = False,
     lam0=None,
     warm_init=None,
@@ -107,7 +108,8 @@ def fiedler_pair_op(
     directly, which also covers non-chain graphs (falls back to diagonal
     scaling naturally).
 
-    banded_pstate / banded_use_prev / return_banded_pstate: warm-rebuild
+    banded_pstate / banded_use_prev / banded_rebuild /
+    return_banded_pstate: warm-rebuild
     protocol for the banded preconditioner's carryable coarse-inverse
     state (mac_tpu.ops.banded.PrecondState) — lets Frank-Wolfe refresh it
     with Newton-Schulz matmuls instead of a cold Cholesky build each step.
@@ -171,7 +173,8 @@ def fiedler_pair_op(
         if banded_pstate is not None or return_banded_pstate:
             Minv, pstate_out = _banded.make_banded_precond(
                 banded, BD, w=w, prev_state=banded_pstate,
-                use_prev=banded_use_prev, return_state=True)
+                use_prev=banded_use_prev, rebuild=banded_rebuild,
+                return_state=True)
         else:
             Minv = _banded.make_banded_precond(banded, BD, w=w)
     elif precond == "twogrid":

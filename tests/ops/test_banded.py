@@ -195,6 +195,51 @@ def test_banded_precond_symmetric_and_effective(smoother, kind):
     assert np.linalg.norm(e_pc) < 0.7 * err0
 
 
+def test_precond_rebuild_skip_reuses_coarse_inverse():
+    """rebuild=False must reuse the carried coarse inverse verbatim (no
+    assembly, no Newton-Schulz); rebuild=True must match the
+    always-rebuild (rebuild=None) path."""
+    from mac_tpu.ops.banded import PrecondState
+
+    idx, w, n = _pose_graph()
+    bop, ridx = build_banded_rcm(idx, n, dtype=jnp.float64)
+    wj = jnp.asarray(w, jnp.float64)
+    BD = assemble_bd(bop, wj)
+    _, st0 = make_banded_precond(bop, BD, w=wj, return_state=True)
+
+    # Perturb the weights; carry st0 forward under each protocol.
+    w2 = wj * 1.05
+    BD2 = assemble_bd(bop, w2)
+    _, st_ref = make_banded_precond(
+        bop, BD2, w=w2, prev_state=st0, use_prev=jnp.asarray(True),
+        return_state=True)
+    _, st_rb = make_banded_precond(
+        bop, BD2, w=w2, prev_state=st0, use_prev=jnp.asarray(True),
+        rebuild=jnp.asarray(True), return_state=True)
+    M_skip, st_skip = make_banded_precond(
+        bop, BD2, w=w2, prev_state=st0, use_prev=jnp.asarray(True),
+        rebuild=jnp.asarray(False), return_state=True)
+
+    # rebuild=True differs from rebuild=None only by lax.cond nesting
+    # (different XLA fusion, same math).
+    np.testing.assert_allclose(np.asarray(st_rb.Lc_inv),
+                               np.asarray(st_ref.Lc_inv),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st_skip.Lc_inv),
+                                  np.asarray(st0.Lc_inv))
+    assert isinstance(st_skip, PrecondState)
+
+    # The skip-step preconditioner still smooths with the CURRENT weights
+    # and remains symmetric positive definite.
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.normal(size=(n, 1)))
+    y = jnp.asarray(rng.normal(size=(n, 1)))
+    ip1 = float(jnp.sum(M_skip(x) * y))
+    ip2 = float(jnp.sum(x * M_skip(y)))
+    assert abs(ip1 - ip2) < 1e-8 * max(abs(ip1), 1.0)
+    assert float(jnp.sum(x * M_skip(x))) > 0.0
+
+
 def test_fiedler_pair_with_banded_matches_dense():
     from mac_tpu.ops.lobpcg import dense_fiedler
     from mac_tpu.ops.laplacian import lap_dense

@@ -230,6 +230,41 @@ def test_automatic_solver_policy_resolution():
     assert mac_user.fiedler_tol == 1e-5
 
 
+def test_precond_refresh_period_quality_parity():
+    """precond_refresh_period > 1 (skip coarse rebuilds on late warm
+    steps) must not move the relaxed objective beyond preconditioner-grade
+    noise — the skip changes only CG convergence speed, not what the
+    eigensolver converges to."""
+    import jax.numpy as jnp
+    import networkx as nx
+    import numpy as np
+    from mac_tpu.solvers import MAC
+    from mac_tpu.utils.conversions import nx_to_mac
+
+    rng = np.random.RandomState(1)
+    n = 700
+    G = nx.path_graph(n)
+    while G.number_of_edges() < n - 1 + 200:
+        i = rng.randint(0, n - 30)
+        G.add_edge(int(i), int(i + 2 + rng.randint(25)))
+    for i, j in G.edges():
+        G[i][j]["weight"] = 0.5 + rng.rand()
+    edges = nx_to_mac(G)
+    fixed = [e for e in edges if abs(e.i - e.j) == 1]
+    cands = [e for e in edges if abs(e.i - e.j) > 1]
+    k = len(cands) // 2
+    x_init = np.full(len(cands), k / len(cands))
+
+    mac1 = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True)
+    mac3 = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True,
+               precond_refresh_period=3)
+    _, u1, _ = mac1.solve(k, x_init, max_iters=16, use_cache=True)
+    _, u3, _ = mac3.solve(k, x_init, max_iters=16, use_cache=True)
+    f1 = mac1.evaluate_objective(u1)
+    f3 = mac1.evaluate_objective(u3)
+    assert abs(f1 - f3) < 5e-4 * abs(f1), (f1, f3)
+
+
 def test_precision_probe_certified_path_and_fallbacks():
     """The staged probe: a healthy mid-size graph certifies float32 via the
     LOBPCG Weinstein bound (no shift-invert factorization — the old
