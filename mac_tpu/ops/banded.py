@@ -396,14 +396,21 @@ def banded_apply(bop: BandedOperator, BD, V: jax.Array,
 
 class PrecondState(NamedTuple):
     """Carryable preconditioner state for warm rebuilds across Frank-Wolfe
-    steps: the explicit coarse inverse. A fresh (cold) build computes it by
-    Cholesky (~1.3 ms at nc=512 — XLA's small-matrix Cholesky on TPU is
-    latency-bound); warm rebuilds refine the PREVIOUS step's inverse with
-    a few Newton-Schulz iterations X <- X(2I - Lc X) — pure MXU matmuls,
-    ~0.1 ms — which converge quadratically because consecutive FW iterates
-    change the coarse operator by at most the step size gamma."""
+    steps: the explicit coarse inverse plus the chain smoother's LDL^T
+    factor. A fresh (cold) build computes the inverse by Cholesky (~1.3 ms
+    at nc=512 — XLA's small-matrix Cholesky on TPU is latency-bound); warm
+    rebuilds refine the PREVIOUS step's inverse with a few Newton-Schulz
+    iterations X <- X(2I - Lc X) — pure MXU matmuls, ~0.1 ms — which
+    converge quadratically because consecutive FW iterates change the
+    coarse operator by at most the step size gamma. The chain factor
+    (dp, l of mac_tpu.ops.tridiag.TridiagFactor; ~0.5-1.8 ms per blocked
+    refactorization) is carried for the same reason: a rebuild=False step
+    reuses it outright, so the whole preconditioner build is skipped.
+    chain_dp/chain_l are None on the block-Jacobi smoother path."""
 
     Lc_inv: jax.Array  # (nc, nc)
+    chain_dp: Optional[jax.Array] = None  # (n,) LDL pivots, original order
+    chain_l: Optional[jax.Array] = None   # (n,) unit-L subdiagonal
 
 
 NS_COARSE_STEPS = 3  # Newton-Schulz refinement steps per warm rebuild
@@ -428,12 +435,12 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
     `return_state=True` the call returns (precond_fn, PrecondState).
 
     rebuild: optional traced boolean (requires prev_state). False skips
-    the coarse level's work ENTIRELY for this step — no Lc = R^T(L R)
-    assembly, no Newton-Schulz — and reuses prev_state.Lc_inv as-is. The
-    chain smoother is still refactored against the current weights, so
-    only the coarse correction lags by the Frank-Wolfe step size — a
-    preconditioner-grade perturbation on late warm steps. None (default)
-    = always rebuild (the pre-round-3 behavior).
+    the preconditioner build ENTIRELY for this step — no Lc = R^T(L R)
+    assembly, no Newton-Schulz, and (when prev_state carries chain_dp)
+    no chain LDL^T refactorization — reusing prev_state as-is. The whole
+    preconditioner then lags the operator by the Frank-Wolfe step size —
+    a preconditioner-grade perturbation on late warm steps. None
+    (default) = always rebuild (the pre-round-3 behavior).
 
     Smoothers:
       * 'chain' (default; requires `w`): exact tridiagonal solve of the
@@ -461,29 +468,55 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
 
     if smoother == "chain":
         assert w is not None, "'chain' smoother needs the weight vector"
-        from mac_tpu.ops.tridiag import tridiag_ldl_auto, tridiag_solve_factored_fast
+        from mac_tpu.ops.tridiag import (TridiagFactor, tridiag_ldl_auto,
+                                         tridiag_solve_factored_fast)
 
-        # Tridiagonal part of L(w) in ORIGINAL ordering: diagonal = weighted
-        # degrees (gathered through the permutation), off-diagonal = chain
-        # edge weights (gather via the static chain_eid table — scatters are
-        # ~0.33us/element on this stack, gathers are cheap).
-        deg_rcm = BD.deg.reshape(n_pad)[:n]
-        d_nat = deg_rcm[bop.iperm]
-        w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
-        e_nat = -w_pad[bop.chain_eid][: max(n - 1, 1)].astype(dtype)
-        dd = d_nat + 100 * eps * jnp.max(d_nat)
-        if n > 4096:
-            # Segment factorization: far cheaper to (re)build per weight
-            # update (the rolled f64 scan runs CHAIN_LDL_BLOCK sequential
-            # steps: 512 -> 1.8 ms, 128 -> ~0.5 ms on city10000) at the
-            # cost of dropping one chain coupling every `block` nodes —
-            # structure above the coarse aggregate size (~20 nodes) that
-            # the coarse level owns anyway.
-            from mac_tpu.ops.tridiag import tridiag_ldl_blocked
+        def _chain_factor_arrays(_):
+            # Tridiagonal part of L(w) in ORIGINAL ordering: diagonal =
+            # weighted degrees (gathered through the permutation),
+            # off-diagonal = chain edge weights (gather via the static
+            # chain_eid table — scatters are ~0.33us/element on this
+            # stack, gathers are cheap).
+            deg_rcm = BD.deg.reshape(n_pad)[:n]
+            d_nat = deg_rcm[bop.iperm]
+            w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+            e_nat = -w_pad[bop.chain_eid][: max(n - 1, 1)].astype(dtype)
+            dd = d_nat + 100 * eps * jnp.max(d_nat)
+            if n > 4096:
+                # Segment factorization: far cheaper to (re)build per
+                # weight update (the rolled f64 scan runs CHAIN_LDL_BLOCK
+                # sequential steps: 512 -> 1.8 ms, 128 -> ~0.5 ms on
+                # city10000) at the cost of dropping one chain coupling
+                # every `block` nodes — structure above the coarse
+                # aggregate size (~20 nodes) that the coarse level owns
+                # anyway.
+                from mac_tpu.ops.tridiag import tridiag_ldl_blocked
 
-            fac = tridiag_ldl_blocked(dd, e_nat, block=CHAIN_LDL_BLOCK)
+                f = tridiag_ldl_blocked(dd, e_nat, block=CHAIN_LDL_BLOCK)
+            else:
+                f = tridiag_ldl_auto(dd, e_nat)
+            return f.dp, f.l
+
+        # Segment length is static aux data: it decides which fused solve
+        # kernels are valid for the factor and must be identical across
+        # the rebuild/reuse cond branches below (n <= 4096 routes through
+        # tridiag_ldl_auto -> exact tridiag_ldl, seg=None).
+        chain_seg = CHAIN_LDL_BLOCK if n > 4096 else None
+
+        can_reuse_chain = (prev_state is not None and rebuild is not None
+                          and prev_state.chain_dp is not None)
+        if can_reuse_chain:
+            # The chain refactorization rides the same `rebuild` gate as
+            # the coarse level: a skipped step reuses the carried factor
+            # (stale by one gamma-sized weight perturbation — the factor
+            # is a smoother inside a preconditioner, exactness is not
+            # load-bearing).
+            chain_dp, chain_l = jax.lax.cond(
+                rebuild, _chain_factor_arrays,
+                lambda _: (prev_state.chain_dp, prev_state.chain_l), None)
         else:
-            fac = tridiag_ldl_auto(dd, e_nat)
+            chain_dp, chain_l = _chain_factor_arrays(None)
+        fac = TridiagFactor(dp=chain_dp, l=chain_l, seg=chain_seg)
 
         def smooth(B):  # B in RCM order, (n, q)
             Xn = tridiag_solve_factored_fast(fac, B[bop.iperm])
@@ -657,5 +690,8 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
         kind = PRECOND_KIND
     chosen = precond_additive if kind == "additive" else precond
     if return_state:
+        if smoother == "chain":
+            return chosen, PrecondState(Lc_inv=Lc_inv, chain_dp=fac.dp,
+                                        chain_l=fac.l)
         return chosen, PrecondState(Lc_inv=Lc_inv)
     return chosen

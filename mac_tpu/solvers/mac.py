@@ -188,6 +188,12 @@ class MAC:
         automatic policy — the measured-optimal fast configuration on the
         TPU float32 block-banded path, conservative round-1 defaults
         elsewhere (see the policy block in __init__).
+    fiedler_warm_maxiter / fiedler_warm_inner_iters: warm-step budget
+        SCHEDULES for cached Frank-Wolfe solves — each accepts an int or
+        a ((from_step, value), ...) tuple capping, respectively, the
+        eigensolver outer iterations and the inner preconditioned-CG
+        steps on warm FW steps >= from_step (step 0 always runs the full
+        budget). None (default) = automatic policy / static count.
     min_selection_weight_tol: selection weights below this are treated as
         exactly zero (mask, not prune — static shapes).
     dtype: compute dtype. Default: float64 on the CPU backend (parity
@@ -216,6 +222,7 @@ class MAC:
         fiedler_rel_tol=None,
         fiedler_coeff_dtype=None,
         fiedler_warm_maxiter=None,
+        fiedler_warm_inner_iters=None,
         fiedler_block_q=None,
         mesh=None,
         use_banded=None,
@@ -323,7 +330,8 @@ class MAC:
                               fiedler_inner_iters, fiedler_rel_tol,
                               fiedler_coeff_dtype, fiedler_warm_maxiter,
                               fiedler_block_q, mesh, use_banded,
-                              fw_tail_average, mesh_apply)
+                              fw_tail_average, mesh_apply,
+                              fiedler_warm_inner_iters)
 
     def _device_ctx(self):
         """Context manager pinning computation to this instance's device
@@ -340,7 +348,8 @@ class MAC:
                      fiedler_inner_iters, fiedler_rel_tol,
                      fiedler_coeff_dtype, fiedler_warm_maxiter,
                      fiedler_block_q, mesh, use_banded,
-                     fw_tail_average=None, mesh_apply=None):
+                     fw_tail_average=None, mesh_apply=None,
+                     fiedler_warm_inner_iters=None):
         dtype = self.dtype
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
         self._w_cand = jnp.asarray(w_cand, dtype=dtype)
@@ -475,6 +484,25 @@ class MAC:
                        for i in range(len(sched) - 1))
             self._warm_schedule = sched
         self.fiedler_warm_maxiter = fiedler_warm_maxiter
+        # Warm inner-CG SCHEDULE, same shape as the warm-cap schedule: a
+        # ((from_step, inner_iters), ...) tuple (or flat int) overriding
+        # the per-outer preconditioned-CG step count on warm FW steps.
+        # Late warm steps only steer a top-k selection through ONE capped
+        # outer iteration, so a shallower inner solve is a candidate
+        # saving (~0.23 ms per dropped CG step at n=1e4); None (default)
+        # keeps the static fiedler_inner_iters everywhere. The traced
+        # count reaches mac_tpu.ops.cg.pcg_fixed as a dynamic
+        # fori_loop bound (while_loop lowering — no unrolling).
+        if fiedler_warm_inner_iters is None:
+            self._warm_inner_schedule = None
+        elif isinstance(fiedler_warm_inner_iters, int):
+            self._warm_inner_schedule = ((1, int(fiedler_warm_inner_iters)),)
+        else:
+            isched = tuple(
+                (int(a), int(b)) for a, b in fiedler_warm_inner_iters)
+            assert all(isched[i][0] < isched[i + 1][0]
+                       for i in range(len(isched) - 1))
+            self._warm_inner_schedule = isched
         # Tail-averaged Frank-Wolfe (see frankwolfe.tail_average_from):
         # None = automatic (on for the fast32 inexact-eigensolve path,
         # whose objective noise makes the last iterate a lottery; off on
@@ -517,7 +545,7 @@ class MAC:
             self._fw_impl,
             static_argnames=("k", "maxiter", "use_cache", "verbose",
                              "fuse_nearest_rounding", "schedule",
-                             "tail_average"),
+                             "inner_schedule", "tail_average"),
         )
 
     # ------------------------------------------------------------------ core
@@ -542,13 +570,22 @@ class MAC:
             mi = jnp.where(step >= from_step, jnp.int32(cap), mi)
         return jnp.where(step == 0, self.fiedler_maxiter, mi)
 
+    def _warm_inner(self, schedule, step):
+        """Inner-CG step count at warm FW step `step` under a
+        ((from_step, inner), ...) schedule; the cold step 0 always runs
+        the full static fiedler_inner_iters."""
+        ii = jnp.asarray(self.fiedler_inner_iters, jnp.int32)
+        for from_step, inner in schedule:
+            ii = jnp.where(step >= from_step, jnp.int32(inner), ii)
+        return jnp.where(step == 0, self.fiedler_inner_iters, ii)
+
     def _w_all(self, params, x: jax.Array) -> jax.Array:
         op, w_fixed, w_cand, chain_w, banded = params
         return jnp.concatenate([w_fixed, self._mask(x) * w_cand])
 
     def _fiedler(self, params, w_all: jax.Array, X: jax.Array, maxiter=None,
                  pstate=None, use_prev=None, rebuild=None,
-                 want_pstate: bool = False, rel_tol=None):
+                 want_pstate: bool = False, rel_tol=None, inner_iters=None):
         # (The engine's warm-entry knob — fiedler_pair_op(lam0=...,
         # warm_init=...) — is deliberately NOT plumbed here: skipping the
         # entry Rayleigh-Ritz was measured to cost 0.8-3e-3 of relaxed
@@ -560,7 +597,8 @@ class MAC:
             X,
             tol=self.fiedler_tol,
             maxiter=self.fiedler_maxiter if maxiter is None else maxiter,
-            inner_iters=self.fiedler_inner_iters,
+            inner_iters=(self.fiedler_inner_iters
+                         if inner_iters is None else inner_iters),
             rel_tol=self.fiedler_rel_tol if rel_tol is None else rel_tol,
             chain_w=chain_w,
             method=self.fiedler_method,
@@ -626,13 +664,13 @@ class MAC:
         return jax.vmap(lambda x: self._eval_impl(params, x, X0))(xs)
 
     def _problem_impl(self, params, x, X, maxiter=None, pstate=None,
-                      use_prev=None, rebuild=None):
+                      use_prev=None, rebuild=None, inner_iters=None):
         op, w_fixed, w_cand, chain_w, banded = params
         want_pstate = pstate is not None
         out = self._fiedler(params, self._w_all(params, x), X,
                             maxiter=maxiter, pstate=pstate,
                             use_prev=use_prev, rebuild=rebuild,
-                            want_pstate=want_pstate)
+                            want_pstate=want_pstate, inner_iters=inner_iters)
         res, pstate_new = out if want_pstate else (out, None)
         v = res.X[:, 0]
         m_fixed = op.m - w_cand.shape[0]
@@ -666,6 +704,7 @@ class MAC:
         verbose: bool,
         fuse_nearest_rounding: bool = False,
         schedule=None,
+        inner_schedule=None,
         tail_average: bool = False,
     ):
         # Auxiliary FW state: (eigenvector block, Ritz values, cumulative
@@ -678,6 +717,8 @@ class MAC:
         # cache-off runs use the full budget.
         if schedule is None or not use_cache:
             schedule = ((1, self.fiedler_maxiter),)
+        if not use_cache:
+            inner_schedule = None  # cold steps need the full inner budget
         warm_cap_at = lambda step: self._warm_cap(schedule, step)
 
         # Carryable preconditioner state (banded path): the coarse inverse
@@ -688,8 +729,11 @@ class MAC:
         if banded is not None:
             from mac_tpu.ops.banded import PrecondState
 
-            pstate0 = PrecondState(Lc_inv=jnp.zeros(
-                (banded.coarse_nc, banded.coarse_nc), self.dtype))
+            pstate0 = PrecondState(
+                Lc_inv=jnp.zeros(
+                    (banded.coarse_nc, banded.coarse_nc), self.dtype),
+                chain_dp=jnp.zeros((banded.n,), self.dtype),
+                chain_l=jnp.zeros((banded.n,), self.dtype))
         else:
             pstate0 = None
 
@@ -699,6 +743,8 @@ class MAC:
             # identical objective at +15 outer iterations — the final x is
             # shaped by the whole trajectory, not the last gradient.)
             mi = warm_cap_at(step)
+            ii = (None if inner_schedule is None
+                  else self._warm_inner(inner_schedule, step))
             if pstate is not None:
                 # Newton-Schulz coarse refresh only once the FW step size
                 # gamma = 2/(step+2) has decayed enough that consecutive
@@ -713,19 +759,20 @@ class MAC:
                 # each step's operator is load-bearing for trajectory
                 # quality.)
                 period = int(self.precond_refresh_period)
-                # Coarse-level refresh cadence: every step while the FW
+                # Preconditioner refresh cadence: every step while the FW
                 # step size is large (step < 8), then every `period`-th
                 # step — the skipped steps reuse the carried coarse
-                # inverse outright (banded.make_banded_precond(rebuild=)),
-                # a gamma-sized perturbation of a preconditioner.
+                # inverse AND chain LDL factor outright
+                # (banded.make_banded_precond(rebuild=)), a gamma-sized
+                # perturbation of a preconditioner.
                 rebuild = None if period <= 1 else jnp.logical_or(
                     step < 8, step % period == 0)
                 f, grad, Xres, iters, pstate = self._problem_impl(
                     params, x, X, maxiter=mi, pstate=pstate,
-                    use_prev=step >= 4, rebuild=rebuild)
+                    use_prev=step >= 4, rebuild=rebuild, inner_iters=ii)
             else:
                 f, grad, Xres, iters = self._problem_impl(
-                    params, x, X, maxiter=mi)
+                    params, x, X, maxiter=mi, inner_iters=ii)
             Xnew = Xres if use_cache else X0
             return f, grad, (Xnew, fiters + iters, step + 1, pstate)
 
@@ -1027,6 +1074,7 @@ class MAC:
             verbose=bool(verbose),
             fuse_nearest_rounding=fuse_nearest,
             schedule=schedule,
+            inner_schedule=self._warm_inner_schedule,
             tail_average=tail_avg,
         )
         # ONE batched device->host fetch: each separate fetch through the
@@ -1104,11 +1152,15 @@ class MAC:
         eigensolver while_loop runs to the SLOWEST lane, so one stalled
         lane without the cap costs every lane the full outer budget."""
         schedule = self._warm_schedule
+        inner_schedule = self._warm_inner_schedule
 
         def problem(x, state):
             X, step = state
             mi = self._warm_cap(schedule, step)
-            f, grad, Xnew, _ = self._problem_impl(params, x, X, maxiter=mi)
+            ii = (None if inner_schedule is None
+                  else self._warm_inner(inner_schedule, step))
+            f, grad, Xnew, _ = self._problem_impl(params, x, X, maxiter=mi,
+                                                  inner_iters=ii)
             return f, grad, (Xnew, step + 1)
 
         solve_lp = lambda g: constraints.solve_subset_box_lp_dynamic(g, k)

@@ -1,12 +1,13 @@
-"""Round-3 TPU probe: coarse-preconditioner refresh cadence A/B.
+"""Round-3 TPU probe: warm inner-CG schedule A/B on city10000 K=50%.
 
-Solves city10000 K=50% at precond_refresh_period in {1, 2, 3, 4} under the
-automatic policy and reports warm median, total eigensolver outers, and
-the scipy-f64 relaxed-objective gap vs the reference optimum. The skip
-(mac_tpu.ops.banded.make_banded_precond rebuild=False branch) saves the
-nc-column coarse assembly + Newton-Schulz (~1.7 ms) AND the chain LDL^T
-refactorization (~0.5 ms at CHAIN_LDL_BLOCK=128) per skipped step; the
-question is whether the stale preconditioner costs outer iterations.
+Late warm Frank-Wolfe steps run ONE capped eigensolver outer iteration
+whose cost is dominated by the 10-step preconditioned CG block solve
+(~2.3 ms at n=1e4); this probe measures whether shallower inner solves on
+late steps (fiedler_warm_inner_iters) save wall-clock without costing
+relaxed-objective quality. Each config is a separate compile (the
+schedule is static); the dynamic fori_loop bound inside
+mac_tpu.ops.cg.pcg_fixed also de-unrolls the CG loop, so config "static"
+vs "flat10" isolates that lowering cost.
 """
 
 import statistics
@@ -25,6 +26,15 @@ from mac_tpu.solvers import MAC, NaiveGreedy
 REF_LAM2 = 0.06944591018149751
 REF_S = 1.931
 
+CONFIGS = {
+    "static": None,                     # today's default (no dynamic bound)
+    "flat10": 10,                       # dynamic bound, same count
+    "flat6": 6,
+    "late6": ((10, 6),),                # full 10 until the cap-1 regime
+    "decay": ((4, 8), (10, 6)),
+    "late4": ((10, 4),),
+}
+
 
 def scipy_lam2(L):
     import scipy.sparse.linalg as spla
@@ -40,9 +50,10 @@ def main():
     k = len(cands) // 2
     x_init = NaiveGreedy(cands).subset(k)
 
-    periods = [int(p) for p in sys.argv[1:]] or [1, 2, 3, 4]
-    for period in periods:
-        mac = MAC(fixed, cands, n, precond_refresh_period=period)
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        sched = CONFIGS[name]
+        mac = MAC(fixed, cands, n, fiedler_warm_inner_iters=sched)
         t0 = time.perf_counter()
         mac.solve(k, x_init, use_cache=True)
         cold = time.perf_counter() - t0
@@ -53,8 +64,9 @@ def main():
             times.append(time.perf_counter() - t0)
         med = statistics.median(times)
         lam = scipy_lam2(mac.laplacian(np.asarray(x)))
-        print(f"period={period}: warm={med:.4f}s cold={cold:.1f}s "
-              f"speedup={REF_S / med:.2f} gap={(lam - REF_LAM2) / REF_LAM2:+.2e} "
+        print(f"{name}: warm={med:.4f}s cold={cold:.1f}s "
+              f"speedup={REF_S / med:.2f} "
+              f"gap={(lam - REF_LAM2) / REF_LAM2:+.2e} "
               f"outers={mac.last_solve_stats['fiedler_iterations']} "
               f"runs={[round(t, 4) for t in times]}", flush=True)
 

@@ -229,8 +229,19 @@ def test_precond_rebuild_skip_reuses_coarse_inverse():
                                   np.asarray(st0.Lc_inv))
     assert isinstance(st_skip, PrecondState)
 
-    # The skip-step preconditioner still smooths with the CURRENT weights
-    # and remains symmetric positive definite.
+    # The chain LDL factor rides the same gate: skipped steps carry the
+    # previous factor verbatim; rebuild=True refactors against w2.
+    np.testing.assert_array_equal(np.asarray(st_skip.chain_dp),
+                                  np.asarray(st0.chain_dp))
+    np.testing.assert_array_equal(np.asarray(st_skip.chain_l),
+                                  np.asarray(st0.chain_l))
+    np.testing.assert_allclose(np.asarray(st_rb.chain_dp),
+                               np.asarray(st_ref.chain_dp),
+                               rtol=1e-8, atol=1e-12)
+    assert float(jnp.max(jnp.abs(st_rb.chain_dp - st0.chain_dp))) > 0.0
+
+    # The skip-step preconditioner (stale factor + stale coarse inverse —
+    # a gamma-sized perturbation) remains symmetric positive definite.
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.normal(size=(n, 1)))
     y = jnp.asarray(rng.normal(size=(n, 1)))

@@ -264,6 +264,17 @@ def test_precond_refresh_period_quality_parity():
     f3 = mac1.evaluate_objective(u3)
     assert abs(f1 - f3) < 5e-4 * abs(f1), (f1, f3)
 
+    # Warm inner-CG schedule (fiedler_warm_inner_iters): shallower inner
+    # solves on late warm steps are the same preconditioner-grade
+    # perturbation — quality must stay within the same band, and the
+    # traced fori_loop bound must compile alongside the skip cadence.
+    mac_i = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True,
+                precond_refresh_period=3,
+                fiedler_warm_inner_iters=((1, 8), (8, 6)))
+    _, ui, _ = mac_i.solve(k, x_init, max_iters=16, use_cache=True)
+    fi = mac1.evaluate_objective(ui)
+    assert abs(f1 - fi) < 5e-4 * abs(f1), (f1, fi)
+
 
 def test_precision_probe_certified_path_and_fallbacks():
     """The staged probe: a healthy mid-size graph certifies float32 via the
