@@ -32,10 +32,12 @@ REF = {
 
 CONFIGS = [
     ("base", {}),
+    ("p2", {"precond_refresh_period": 2}),
     ("p3", {"precond_refresh_period": 3}),
     ("p3+late6", {"precond_refresh_period": 3,
                   "fiedler_warm_inner_iters": ((10, 6),)}),
     ("late6", {"fiedler_warm_inner_iters": ((10, 6),)}),
+    ("late4", {"fiedler_warm_inner_iters": ((10, 4),)}),
 ]
 
 

@@ -51,3 +51,21 @@ def test_sweep_madow(problem):
     rounded, _, _ = mac.solve_sweep([2, 3], rounding="madow", max_iters=30)
     assert rounded[0].sum() == 2
     assert rounded[1].sum() == 3
+
+
+def test_sweep_with_warm_inner_schedule(problem):
+    """The warm inner-CG schedule threads into the vmapped dynamic-k path:
+    Petersen budgets converge to the same objectives (small graphs finish
+    well inside any sane inner budget)."""
+    fixed, cands, n = problem
+    mac = MAC(fixed, cands, n, fiedler_warm_inner_iters=((1, 8), (5, 6)))
+    ks = [2, 3]
+    rounded, unrounded, upper = mac.solve_sweep(ks, max_iters=30)
+    mac0 = MAC(fixed, cands, n)
+    _, unrounded0, upper0 = mac0.solve_sweep(ks, max_iters=30)
+    for i in range(len(ks)):
+        assert np.isclose(
+            mac.evaluate_objective(unrounded[i]),
+            mac0.evaluate_objective(unrounded0[i]),
+            rtol=1e-6,
+        )
