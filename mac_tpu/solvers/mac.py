@@ -52,6 +52,19 @@ from mac_tpu.utils.rounding import (
 # failure cases: kitti_02 (3.8e-7), ais2klinik (1.1e-8).
 F32_SPECTRAL_RATIO_MIN = 1.2e-5
 
+# Automatic splu-refactorization cadence for the host Frank-Wolfe path
+# (see _solve_host): refactor every p-th warm step, reuse the stale
+# factor otherwise. MEASURED: must stay 1 (refactor every step). The
+# host path's clients are precisely the probe-escalated tiny-gap graphs
+# (lambda_2/||L|| ~ 1e-8), where the Fiedler subspace's sensitivity
+# ~1/gap makes a one-FW-step-stale operator a USELESS inverse-iteration
+# direction: outer counts exploded 9->66 (kitti_02), 27->264 (kitti_05),
+# 11->191 (ais2klinik) at p=2..99, erasing 4-8x more than the ~47%
+# factorization share saved. (Unlike the banded device path, where the
+# stale object is only a PRECONDITIONER for CG — there the cadence skip
+# is measured safe, see precond_refresh_period.)
+HOST_LU_REFRESH = 1
+
 
 def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
     """float32 vs float64 from a cheap host-side (scipy, CPU) spectral
@@ -230,7 +243,7 @@ class MAC:
         fiedler_precond=None,
         fiedler_backend=None,
         mesh_apply=None,
-        precond_refresh_period: int = 1,
+        precond_refresh_period=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
         the Laplacian product row-blocks across devices
@@ -245,11 +258,15 @@ class MAC:
         (mac_tpu.ops.banded). None = automatic: enabled on the TPU float32
         path when the graph admits a narrow RCM band.
 
-        `precond_refresh_period`: coarse-preconditioner refresh cadence on
-        warm Frank-Wolfe steps (banded path): 1 = every step (default);
-        p > 1 skips the coarse assembly + Newton-Schulz on steps >= 8
-        except every p-th, reusing the carried coarse inverse (the
-        Frank-Wolfe step size bounds the drift)."""
+        `precond_refresh_period`: preconditioner/factor refresh cadence on
+        warm Frank-Wolfe steps. On the banded device path, p > 1 skips
+        the coarse assembly + Newton-Schulz + chain refactorization on
+        steps >= 8 except every p-th, reusing the carried state (the
+        Frank-Wolfe step size bounds the drift). On the host (splu) path
+        the same cadence reuses the previous step's sparse factor for
+        inexact inverse iteration — measured HARMFUL there (see
+        HOST_LU_REFRESH), so the automatic policy keeps 1; the knob
+        remains for experimentation. None (default) = automatic."""
         fixed_idx, w_fixed = edges_to_arrays(fixed_edges)
         cand_idx, w_cand = edges_to_arrays(candidate_edges)
         n = int(num_nodes)
@@ -321,7 +338,10 @@ class MAC:
                 else "device")
         assert fiedler_backend in ("device", "host")
         self.fiedler_backend = fiedler_backend
-        self.precond_refresh_period = int(precond_refresh_period)
+        self._precond_period_user = precond_refresh_period is not None
+        self.precond_refresh_period = (
+            1 if precond_refresh_period is None else
+            int(precond_refresh_period))
 
         with self._device_ctx():
             self._finish_init(fixed_idx, w_fixed, cand_idx, w_cand, n,
@@ -836,6 +856,19 @@ class MAC:
         if rel_tol is None:
             rel_tol = 1e-7
 
+        # splu refresh cadence (experimentation knob only): although the
+        # factorization is ~half the host solve's profile (gstrf 47% on
+        # ais2klinik), the measured automatic policy is REFACTOR EVERY
+        # STEP — see HOST_LU_REFRESH for the numbers. Rayleigh-Ritz and
+        # the residual test always run against the CURRENT L, so a stale
+        # factor stays correct, just catastrophically slower to converge
+        # on these tiny-gap graphs. Steps that exhaust the outer budget
+        # force a fresh factor on the next step.
+        period_h = (self.precond_refresh_period if self._precond_period_user
+                    else HOST_LU_REFRESH)
+        lu = None
+        maxiter_h = min(self.fiedler_maxiter, 60)
+
         solve_start = timer()
         u = np.inf
         fiters = 0
@@ -844,10 +877,13 @@ class MAC:
             xm = np.where(x > self.min_selection_weight_tol, x, 0.0)
             w_all = np.concatenate([w_fixed, xm * w_cand])
             L = weight_graph_lap_from_edges(idx, w_all, n)
+            if lu is None or not use_cache or it % period_h == 0:
+                lu = splu_reduced(L)
             lam, Xb, its = host_tracemin_fiedler(
                 L, X if use_cache else X0, tol=self.fiedler_tol,
-                maxiter=min(self.fiedler_maxiter, 60), rel_tol=rel_tol,
-                lu=splu_reduced(L))
+                maxiter=maxiter_h, rel_tol=rel_tol, lu=lu)
+            if its >= maxiter_h:
+                lu = None  # unconverged with a stale factor: refactor next
             if use_cache:
                 X = Xb
             fiters += its
