@@ -139,6 +139,32 @@ def test_assemble_fused_kernel_matches_xla():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("n,n_loops,span", [
+    (560, 80, 6),      # half = 1 (single upper diagonal), tiny du
+    (700, 420, 70),    # wider band / larger du than the base test
+    (1100, 250, 120),  # n not a multiple of BS, half >= 3
+])
+def test_assemble_fused_kernel_matches_xla_shapes(n, n_loops, span):
+    """Parity across unroll regimes: different half (tile-write count)
+    and du (compare-accumulate pass count) configurations must all
+    reproduce the XLA sheared assembly bit-for-bit."""
+    from mac_tpu.ops.banded import _assemble_up_xla
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_up_fused
+
+    idx, w, n = _pose_graph(n=n, n_loops=n_loops, span=span, seed=11)
+    perm, inv, bw = rcm_order(idx, n)
+    bop = build_banded(inv[idx].astype(np.int32), n, dtype=jnp.float32)
+    assert bop is not None
+    w32 = jnp.asarray(w, jnp.float32)
+    w_pad = jnp.concatenate([-w32, jnp.zeros((1,), jnp.float32)])
+    wu = w_pad[bop.ueid_tbl]
+    ref = np.asarray(_assemble_up_xla(bop, wu))
+    got = np.asarray(assemble_up_fused(bop.dcol_tbl, wu, half=bop.half,
+                                       nb=bop.nb, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_assemble_fused_vmap_falls_back_to_xla():
     """vmapping the fused assembly op (budget sweeps) must route through
     the XLA batch rule and match per-lane XLA assembly."""
