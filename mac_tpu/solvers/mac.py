@@ -276,6 +276,8 @@ class MAC:
         assert num_edges <= 0.5 * n * (n - 1)
 
         self.auto_dtype_reason = None
+        self.spectral_ratio = None
+        self._tiny_gap = False
         if dtype is None:
             dtype = _fiedler.default_dtype()
             if dtype == jnp.float32:
@@ -288,6 +290,23 @@ class MAC:
                         f"lambda_2/||L||_inf ~ {ratio:.2e} is below float32 "
                         "resolution; escalated to float64"
                     )
+                    self._tiny_gap = True
+            elif dtype == jnp.float64 and mesh is None and n <= 20000:
+                # Float64 session default (CPU backend): no precision
+                # escalation is needed, but the SAME spectral regime the
+                # TPU probe escalates on — lambda_2/||L||_inf below f32
+                # resolution — also marks where the host splu engine beats
+                # the XLA device engine (per-op latency dominates tiny
+                # ill-conditioned graphs; measured kitti_02 0.018 s host
+                # vs 0.13 s XLA-CPU). Probe small graphs (bounded cost:
+                # the n > 20000 regime never reaches the exact stage-2
+                # solve anyway) purely to route the backend.
+                _, ratio = choose_compute_dtype(
+                    fixed_idx, w_fixed, cand_idx, w_cand, n
+                )
+                self.spectral_ratio = ratio
+                self._tiny_gap = (
+                    ratio is not None and ratio < F32_SPECTRAL_RATIO_MIN)
         self.dtype = dtype
         self.num_nodes = n
         self.fixed_idx = fixed_idx
@@ -322,19 +341,18 @@ class MAC:
 
         # Eigensolver execution backend: 'device' (the jitted JAX engine)
         # or 'host' (numpy + scipy splu — mac_tpu.ops.host_tracemin).
-        # None = automatic: 'host' exactly for the PROBE-ESCALATED float64
-        # instances without a mesh — the tiny, ill-conditioned graphs
-        # where XLA per-op latency dominates and a sparse direct
-        # factorization is essentially free (measured: kitti_02 0.018 s
-        # host vs 0.13 s XLA-CPU vs 0.37 s TPU). Keyed on the escalation
-        # itself rather than on the TPU pin (robust if the CPU-pin lookup
-        # fails); instances that are float64 merely because the session
-        # default is float64 (CPU sessions never run the probe) keep the
-        # device engine — pass fiedler_backend='host' to opt in there.
+        # None = automatic: 'host' exactly for TINY-GAP float64 instances
+        # without a mesh — the small, ill-conditioned graphs where XLA
+        # per-op latency dominates and a sparse direct factorization is
+        # essentially free (measured: kitti_02 0.018 s host vs 0.13 s
+        # XLA-CPU vs 0.37 s TPU). The tiny-gap flag comes from the same
+        # spectral probe on both session kinds: on accelerator sessions
+        # it is the f32->f64 escalation itself; on float64 (CPU) sessions
+        # the probe runs for small graphs purely to route the backend
+        # (see the dtype block above).
         if fiedler_backend is None:
             fiedler_backend = (
-                "host" if (self.auto_dtype_reason is not None
-                           and mesh is None)
+                "host" if (self._tiny_gap and mesh is None)
                 else "device")
         assert fiedler_backend in ("device", "host")
         self.fiedler_backend = fiedler_backend

@@ -369,3 +369,33 @@ def test_host_backend_parity():
     # The exact-float64 dual bound is a valid upper bound on both.
     assert f_h <= bh + 1e-9
     assert f_d <= bh + 1e-6 or f_d <= bd + 1e-6
+
+
+def test_host_backend_auto_routes_tiny_gap_on_f64_sessions():
+    """On a float64 (CPU) session the ctor probe still runs for small
+    graphs and routes tiny-gap instances (the kitti/ais2klinik regime)
+    to the host splu engine, while well-conditioned graphs keep the
+    device engine."""
+    from mac_tpu.utils.graphs import Edge
+
+    # Long stiff chain + one weak loop: lambda_2/||L||_inf far below the
+    # f32 threshold (same construction as test_precision_probe).
+    n = 3000
+    fixed = [Edge(i, i + 1, 1e6) for i in range(n - 1)]
+    cands = [Edge(0, n // 2, 1e6), Edge(5, n // 2 + 7, 1e6),
+             Edge(11, n - 3, 1e6)]
+    mac = MAC(fixed, cands, n)
+    assert mac._tiny_gap
+    assert mac.fiedler_backend == "host"
+    rounded, unrounded, upper = mac.solve(2)
+    assert mac.last_solve_stats["backend"] == "host"
+    assert rounded.sum() == 2
+    assert mac.evaluate_objective(unrounded) <= upper + 1e-12
+
+    # Well-conditioned: stays on the device engine.
+    graph = nx.petersen_graph()
+    tree = nx.minimum_spanning_tree(graph)
+    mac2 = MAC(nx_to_mac(tree), nx_to_mac(nx.difference(graph, tree)),
+               graph.number_of_nodes())
+    assert not mac2._tiny_gap
+    assert mac2.fiedler_backend == "device"
