@@ -257,6 +257,17 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     )
 
 
+# Safety valve for the fused Pallas assembly kernel (auto-enabled on the
+# TPU float32 path below): Mosaic kernel compiles are shape-regime
+# dependent — static many-op kernels have crashed the remote compiler
+# (round-2 finding at 64+ unrolled bands) — and an instance regime that
+# fails to compile must not take the whole solve down. MAC.solve flips
+# this to False and retries on the XLA sheared path if the first jitted
+# execution of a fused-assembly program raises (trace-time read: callers
+# must clear jit caches after flipping).
+FUSED_ASSEMBLY_ENABLED = True
+
+
 def assemble_bd(bop: BandedOperator, w: jax.Array,
                 fused: Optional[bool] = None) -> jax.Array:
     """Assemble BD(w): the UPPER block diagonals of L(w) + the degree
@@ -289,7 +300,9 @@ def assemble_bd(bop: BandedOperator, w: jax.Array,
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
     wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
     if fused is None:
-        fused = jax.default_backend() == "tpu" and dtype == jnp.float32
+        fused = (FUSED_ASSEMBLY_ENABLED
+                 and jax.default_backend() == "tpu"
+                 and dtype == jnp.float32)
     up = _assemble_up_fused_op(bop, wu) if fused else _assemble_up_xla(bop, wu)
     return BDRep(up=up, deg=_deg_from_up(up))
 

@@ -1116,21 +1116,46 @@ class MAC:
 
         solve_start = timer()
         fuse_nearest = rounding == "nearest"
-        x_dev, u, X_dev, it, fiters, rounded_dev = self._fw_jit(
-            self._params,
-            x_init,
-            self._X0,
-            k=k,
-            maxiter=int(max_iters),
-            relative_duality_gap_tol=jnp.asarray(relative_duality_gap_tol, self.dtype),
-            grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
-            use_cache=bool(use_cache),
-            verbose=bool(verbose),
-            fuse_nearest_rounding=fuse_nearest,
-            schedule=schedule,
-            inner_schedule=self._warm_inner_schedule,
-            tail_average=tail_avg,
-        )
+
+        def _run_fw():
+            return self._fw_jit(
+                self._params,
+                x_init,
+                self._X0,
+                k=k,
+                maxiter=int(max_iters),
+                relative_duality_gap_tol=jnp.asarray(
+                    relative_duality_gap_tol, self.dtype),
+                grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
+                use_cache=bool(use_cache),
+                verbose=bool(verbose),
+                fuse_nearest_rounding=fuse_nearest,
+                schedule=schedule,
+                inner_schedule=self._warm_inner_schedule,
+                tail_average=tail_avg,
+            )
+
+        from mac_tpu.ops import banded as _banded_mod
+
+        if fast32 and self.mesh is None and _banded_mod.FUSED_ASSEMBLY_ENABLED:
+            # The fused Pallas assembly kernel's Mosaic compile is
+            # shape-regime dependent (see FUSED_ASSEMBLY_ENABLED): if the
+            # first jitted execution raises, fall back to the XLA sheared
+            # assembly and retry once rather than failing the solve.
+            try:
+                x_dev, u, X_dev, it, fiters, rounded_dev = _run_fw()
+            except Exception as exc:  # pragma: no cover - TPU-compile only
+                import warnings
+
+                warnings.warn(
+                    "banded solve failed with the fused Pallas assembly "
+                    f"kernel enabled ({type(exc).__name__}: {exc}); "
+                    "disabling it and retrying on the XLA assembly path")
+                _banded_mod.FUSED_ASSEMBLY_ENABLED = False
+                jax.clear_caches()
+                x_dev, u, X_dev, it, fiters, rounded_dev = _run_fw()
+        else:
+            x_dev, u, X_dev, it, fiters, rounded_dev = _run_fw()
         # ONE batched device->host fetch: each separate fetch through the
         # tunnel costs milliseconds, and everything below is host math.
         x, u, X, it, fiters, rounded_np = jax.device_get(

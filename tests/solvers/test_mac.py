@@ -371,6 +371,52 @@ def test_host_backend_parity():
     assert f_d <= bh + 1e-6 or f_d <= bd + 1e-6
 
 
+def test_fused_assembly_failure_falls_back_to_xla_path():
+    """If the first jitted banded-f32 solve raises (the fused Pallas
+    assembly kernel failing to Mosaic-compile on a new shape regime),
+    solve() must flip the module safety valve and retry on the XLA
+    assembly path instead of propagating."""
+    import jax.numpy as jnp
+    from mac_tpu.ops import banded as banded_mod
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(3)
+    n = 600
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    cands = []
+    seen = set()
+    while len(cands) < 150:
+        i = rng.randint(0, n - 30)
+        j = i + 2 + rng.randint(25)
+        if (i, j) not in seen:
+            seen.add((i, j))
+            cands.append(Edge(i, j, 0.5 + rng.rand()))
+    mac = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32,
+              fiedler_maxiter=8, fiedler_inner_iters=4)
+    assert mac._banded is not None
+
+    real_fw = mac._fw_jit
+    calls = {"n": 0}
+
+    def flaky_fw(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated Mosaic compile failure")
+        return real_fw(*args, **kwargs)
+
+    assert banded_mod.FUSED_ASSEMBLY_ENABLED
+    mac._fw_jit = flaky_fw
+    try:
+        with pytest.warns(UserWarning, match="fused Pallas assembly"):
+            rounded, unrounded, upper = mac.solve(40, max_iters=3)
+        assert calls["n"] == 2
+        assert not banded_mod.FUSED_ASSEMBLY_ENABLED
+        assert rounded.sum() == 40
+    finally:
+        banded_mod.FUSED_ASSEMBLY_ENABLED = True
+        mac._fw_jit = real_fw
+
+
 def test_host_backend_auto_routes_tiny_gap_on_f64_sessions():
     """On a float64 (CPU) session the ctor probe still runs for small
     graphs and routes tiny-gap instances (the kitti/ais2klinik regime)
