@@ -38,6 +38,24 @@ import jax as _jax
 # (mac_tpu.utils.fiedler.default_dtype: float32 on TPU, float64 on CPU).
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: solve programs are large (XLA compiles run
+# tens of seconds on TPU, minutes on the sandbox CPU) and identical across
+# processes, so fresh-process cold starts (benchmarks, CLIs, test re-runs)
+# should compile-hit on disk. Repo-local directory when writable; honors an
+# explicit JAX_COMPILATION_CACHE_DIR; never fatal.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        _cache_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".jax_cache")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from mac_tpu.utils.graphs import Edge
 from mac_tpu.solvers import MAC, NaiveGreedy
 
