@@ -41,15 +41,7 @@ REFERENCE_SOLVE_S = 1.931  # BASELINE.md: reference CPU, city10000, K=50%
 REFERENCE_LAM2_UNROUNDED = 0.06944591018149751
 
 
-def scipy_lam2(L):
-    """Float64 lambda_2 via shift-invert Lanczos (host) — the impartial
-    quality referee; independent of mac_tpu's own eigensolver."""
-    import numpy as np
-    import scipy.sparse.linalg as spla
-
-    vals = spla.eigsh(L.astype(np.float64), k=2, sigma=-1e-9, which="LM",
-                      return_eigenvectors=False)
-    return float(np.sort(vals)[-1])
+from mac_tpu.utils.fiedler import scipy_lam2  # shared quality referee
 
 
 def main():

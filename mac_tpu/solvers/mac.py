@@ -66,6 +66,16 @@ F32_SPECTRAL_RATIO_MIN = 1.2e-5
 HOST_LU_REFRESH = 1
 
 
+def _is_pallas_compile_failure(exc) -> bool:
+    """True when an exception plausibly came from the Pallas/Mosaic custom
+    call (the fused assembly kernel) rather than user code or resource
+    pressure: Mosaic legalization errors and TPU custom-call failures carry
+    these markers in their message; OOM / pytree / user errors do not."""
+    msg = f"{type(exc).__name__}: {exc}".lower()
+    return any(s in msg for s in
+               ("mosaic", "pallas", "custom call", "custom_call"))
+
+
 def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
     """float32 vs float64 from a cheap host-side (scipy, CPU) spectral
     probe: lambda_2 at the mid-box point x = 1/2 relative to the full-graph
@@ -291,7 +301,8 @@ class MAC:
                         "resolution; escalated to float64"
                     )
                     self._tiny_gap = True
-            elif dtype == jnp.float64 and mesh is None and n <= 20000:
+            elif (dtype == jnp.float64 and mesh is None and n <= 20000
+                  and fiedler_backend is None):
                 # Float64 session default (CPU backend): no precision
                 # escalation is needed, but the SAME spectral regime the
                 # TPU probe escalates on — lambda_2/||L||_inf below f32
@@ -300,7 +311,8 @@ class MAC:
                 # ill-conditioned graphs; measured kitti_02 0.018 s host
                 # vs 0.13 s XLA-CPU). Probe small graphs (bounded cost:
                 # the n > 20000 regime never reaches the exact stage-2
-                # solve anyway) purely to route the backend.
+                # solve anyway) purely to route the backend — so skip it
+                # entirely when the caller pinned fiedler_backend.
                 _, ratio = choose_compute_dtype(
                     fixed_idx, w_fixed, cand_idx, w_cand, n
                 )
@@ -1013,8 +1025,12 @@ class MAC:
         steps (maxiter 40, a decaying warm-cap schedule, tail averaging,
         and the noisy-bound duality stop disabled) — measured on
         city10000 to land a strictly better relaxed objective than 20
-        reference-style exact steps in a fraction of the time; elsewhere
-        it is the reference default (5 exact steps).
+        reference-style exact steps in a fraction of the time; on the
+        host-routed tiny-gap path it is a cap of 20 exact steps under the
+        1e-4 duality-gap stop (these ill-conditioned graphs usually stop
+        after a handful of steps, but benefit from headroom beyond 5 —
+        kitti_05 uses it); elsewhere it is the reference default (5 exact
+        steps).
         relative_duality_gap_tol=None likewise defers to the path policy
         (1e-4 on exact paths; disabled on the float32 path, where the
         accumulated dual bound carries eigensolver noise and fires
@@ -1052,6 +1068,15 @@ class MAC:
         if k >= m:
             result = np.ones(m)
             obj = self.evaluate_objective(jnp.ones(m, self.dtype))
+            if return_rounding_time:
+                return result, result, obj, 0.0
+            return result, result, obj
+        if k <= 0:
+            # Degenerate budget: no candidate can be selected. Handled
+            # up-front so the host path's argpartition (kth = m - k) and
+            # the k/m uniform init never see k = 0.
+            result = np.zeros(m)
+            obj = self.evaluate_objective(jnp.zeros(m, self.dtype))
             if return_rounding_time:
                 return result, result, obj, 0.0
             return result, result, obj
@@ -1106,10 +1131,13 @@ class MAC:
                 tail_avg = self.fw_tail_average
             else:
                 max_iters = 5  # the reference's default (mac.py:133)
-        elif (fast32 and self._tail_average_user_set and self.fw_tail_average
-              and int(max_iters) >= 24):
+                tail_avg = (self._tail_average_user_set
+                            and self.fw_tail_average)
+        elif self._tail_average_user_set and self.fw_tail_average:
             # Explicit max_iters keeps reference last-iterate semantics
-            # unless the user ALSO explicitly opted into tail averaging.
+            # unless the user ALSO explicitly opted into tail averaging —
+            # then the opt-in is honored at any iteration count
+            # (tail_average_from = maxiter // 2 is well-defined down to 2).
             tail_avg = True
         if relative_duality_gap_tol is None:
             relative_duality_gap_tol = 1e-4
@@ -1140,11 +1168,16 @@ class MAC:
         if fast32 and self.mesh is None and _banded_mod.FUSED_ASSEMBLY_ENABLED:
             # The fused Pallas assembly kernel's Mosaic compile is
             # shape-regime dependent (see FUSED_ASSEMBLY_ENABLED): if the
-            # first jitted execution raises, fall back to the XLA sheared
-            # assembly and retry once rather than failing the solve.
+            # first jitted execution fails IN THE KERNEL, fall back to the
+            # XLA sheared assembly and retry once rather than failing the
+            # solve. Unrelated failures (user bugs, OOM, interrupts) are
+            # re-raised untouched — the valve must not misattribute them
+            # to the kernel, flip the global flag, or clear JIT caches.
             try:
                 x_dev, u, X_dev, it, fiters, rounded_dev = _run_fw()
             except Exception as exc:  # pragma: no cover - TPU-compile only
+                if not _is_pallas_compile_failure(exc):
+                    raise
                 import warnings
 
                 warnings.warn(
@@ -1167,6 +1200,7 @@ class MAC:
             "fw_iterations": int(it),
             "fiedler_iterations": int(fiters),
             "fw_time_s": timer() - solve_start,
+            "tail_averaged": bool(tail_avg),
         }
 
         start = timer()

@@ -49,6 +49,20 @@ DENSE_EIGH_MAX_N = 256
 _DEFAULT_SEED = 7  # reference quirk preserved: np.random.RandomState(7)
 
 
+def scipy_lam2(L) -> float:
+    """Float64 lambda_2 via shift-invert Lanczos on the host — the
+    impartial quality referee used by the benchmark/probe scripts;
+    independent of mac_tpu's own eigensolver. WARNING: shift-invert
+    factorizes L; on large graphs with heavy loop-closure fill the splu
+    can take minutes (see CLAUDE.md) — bench scripts only call this on
+    the bundled datasets where it is known cheap."""
+    import scipy.sparse.linalg as spla
+
+    vals = spla.eigsh(L.astype(np.float64), k=2, sigma=-1e-9, which="LM",
+                      return_eigenvectors=False)
+    return float(np.sort(vals)[-1])
+
+
 def default_dtype():
     """Backend-aware compute dtype: float32 on accelerators (bandwidth,
     MXU), float64 on CPU (numerical-parity mode). x64 is always enabled
@@ -125,7 +139,11 @@ def fiedler_pair_op(
     if apply_override is None and (
         method == "dense" or (op.mode == "dense" and n <= DENSE_EIGH_MAX_N)
     ):
-        return _ret(dense_fiedler(lap_dense(op, w), q))
+        # Thread any incoming PrecondState through unchanged: callers that
+        # carry pstate in a while_loop (MAC._fw_impl with use_banded) need
+        # the carry pytree structure preserved even when the fiedler path
+        # routes dense.
+        return _ret(dense_fiedler(lap_dense(op, w), q), banded_pstate)
 
     BD = None
     if apply_override is not None:

@@ -36,12 +36,7 @@ CONFIGS = {
 }
 
 
-def scipy_lam2(L):
-    import scipy.sparse.linalg as spla
-
-    vals = spla.eigsh(L.astype(np.float64), k=2, sigma=-1e-9, which="LM",
-                      return_eigenvectors=False)
-    return float(np.sort(vals)[-1])
+from mac_tpu.utils.fiedler import scipy_lam2  # shared quality referee
 
 
 def main():

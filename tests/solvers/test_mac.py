@@ -445,3 +445,126 @@ def test_host_backend_auto_routes_tiny_gap_on_f64_sessions():
                graph.number_of_nodes())
     assert not mac2._tiny_gap
     assert mac2.fiedler_backend == "device"
+
+
+def test_fused_assembly_valve_reraises_unrelated_failures():
+    """The safety valve must only catch Pallas/Mosaic-looking failures:
+    an unrelated exception propagates unchanged, without flipping the
+    module flag or clearing JIT caches (review finding, round 3)."""
+    import jax.numpy as jnp
+    from mac_tpu.ops import banded as banded_mod
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(3)
+    n = 600
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    cands = [Edge(i, i + 5, 1.0) for i in range(0, 500, 4)]
+    mac = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32,
+              fiedler_maxiter=8, fiedler_inner_iters=4)
+
+    real_fw = mac._fw_jit
+    calls = {"n": 0}
+
+    def broken_fw(*args, **kwargs):
+        calls["n"] += 1
+        raise TypeError("some unrelated user/pytree error")
+
+    assert banded_mod.FUSED_ASSEMBLY_ENABLED
+    mac._fw_jit = broken_fw
+    try:
+        with pytest.raises(TypeError, match="unrelated"):
+            mac.solve(40, max_iters=3)
+        assert calls["n"] == 1  # no retry
+        assert banded_mod.FUSED_ASSEMBLY_ENABLED  # flag untouched
+    finally:
+        mac._fw_jit = real_fw
+
+
+def test_dense_fiedler_method_keeps_banded_pytree_carry():
+    """fiedler_method='dense' combined with use_banded must run: the
+    dense early-return used to drop the PrecondState from the FW carry,
+    breaking the while_loop pytree (review finding, round 3)."""
+    import jax.numpy as jnp
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(5)
+    n = 600  # the banded path needs n >= 4 * BS = 512
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    cands = [Edge(i, i + 4 + (i % 7), 1.0) for i in range(0, 550, 5)]
+    mac = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32,
+              fiedler_method="dense")
+    assert mac._banded is not None
+    k = len(cands) // 2
+    rounded, unrounded, upper = mac.solve(k, max_iters=3)
+    assert rounded.sum() == k
+    assert np.isfinite(upper)
+
+
+def test_solve_k0_returns_zero_selection_on_both_backends():
+    """solve(0) is a degenerate budget: all-zeros selection, objective of
+    the fixed graph alone — on the device path AND the host splu path
+    (which used to crash in argpartition; review finding, round 3)."""
+    from mac_tpu.utils.graphs import Edge
+
+    graph = nx.petersen_graph()
+    tree = nx.minimum_spanning_tree(graph)
+    mac = MAC(nx_to_mac(tree), nx_to_mac(nx.difference(graph, tree)),
+              graph.number_of_nodes())
+    rounded, unrounded, upper = mac.solve(0)
+    assert rounded.sum() == 0 and unrounded.sum() == 0
+    assert np.isclose(upper, mac.evaluate_objective(np.zeros(len(mac.weights))),
+                      rtol=1e-6)
+
+    n = 3000
+    fixed = [Edge(i, i + 1, 1e6) for i in range(n - 1)]
+    cands = [Edge(0, n // 2, 1e6), Edge(5, n // 2 + 7, 1e6),
+             Edge(11, n - 3, 1e6)]
+    mac_h = MAC(fixed, cands, n)
+    assert mac_h.fiedler_backend == "host"
+    rounded, unrounded, upper = mac_h.solve(0)
+    assert rounded.sum() == 0 and unrounded.sum() == 0
+
+
+def test_explicit_backend_skips_f64_ctor_probe():
+    """An explicit fiedler_backend on a float64 session bypasses the
+    ctor spectral probe entirely (its only consumer is the automatic
+    backend routing; review finding, round 3)."""
+    from mac_tpu.utils.graphs import Edge
+
+    n = 3000
+    fixed = [Edge(i, i + 1, 1e6) for i in range(n - 1)]
+    cands = [Edge(0, n // 2, 1e6), Edge(5, n // 2 + 7, 1e6),
+             Edge(11, n - 3, 1e6)]
+    mac = MAC(fixed, cands, n, fiedler_backend="device")
+    assert mac.fiedler_backend == "device"
+    assert mac.spectral_ratio is None  # probe never ran
+
+
+def test_explicit_tail_average_honored_at_any_max_iters():
+    """fw_tail_average=True passed explicitly must engage Cesaro tail
+    averaging even with an explicit max_iters below the old >=24 gate
+    (review finding, round 3). Observability: last_solve_stats."""
+    import jax.numpy as jnp
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(7)
+    n = 600
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    cands = [Edge(i, i + 5, 1.0) for i in range(0, 500, 4)]
+    k = len(cands) // 2
+
+    mac_on = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32,
+                 fw_tail_average=True)
+    mac_on.solve(k, max_iters=12)
+    assert mac_on.last_solve_stats["tail_averaged"]
+
+    mac_off = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32,
+                  fw_tail_average=False)
+    mac_off.solve(k, max_iters=12)
+    assert not mac_off.last_solve_stats["tail_averaged"]
+
+    # Ctor default (no explicit opt-in) + explicit max_iters keeps
+    # reference last-iterate semantics.
+    mac_def = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32)
+    mac_def.solve(k, max_iters=12)
+    assert not mac_def.last_solve_stats["tail_averaged"]
