@@ -52,6 +52,16 @@ from mac_tpu.utils.rounding import (
 # failure cases: kitti_02 (3.8e-7), ais2klinik (1.1e-8).
 F32_SPECTRAL_RATIO_MIN = 1.2e-5
 
+# Probe ratios at float64 machine-noise level mean the graph is
+# DISCONNECTED at the mid-box point (lambda_2 = 0, and since x = 1/2 has
+# the same support as x = 1, with every candidate too): there is no tiny
+# gap to resolve, and the host engine's grounded splu system would be
+# singular (NaN iterates). Genuine tiny-gap instances sit far above
+# (ais2klinik 1.1e-8, kitti_02 3.8e-7); disconnected probes measure
+# ~1e-17. Such instances stay on the device engine, which supports
+# lambda_2 = 0 (rank-one nullspace shift, no factorization).
+RATIO_DISCONNECTED_MAX = 1e-13
+
 # Automatic splu-refactorization cadence for the host Frank-Wolfe path
 # (see _solve_host): refactor every p-th warm step, reuse the stale
 # factor otherwise. MEASURED: must stay 1 (refactor every step). The
@@ -363,8 +373,12 @@ class MAC:
         # the probe runs for small graphs purely to route the backend
         # (see the dtype block above).
         if fiedler_backend is None:
+            disconnected = (
+                self.spectral_ratio is not None
+                and self.spectral_ratio < RATIO_DISCONNECTED_MAX)
             fiedler_backend = (
-                "host" if (self._tiny_gap and mesh is None)
+                "host" if (self._tiny_gap and not disconnected
+                           and mesh is None)
                 else "device")
         assert fiedler_backend in ("device", "host")
         self.fiedler_backend = fiedler_backend
@@ -1193,6 +1207,19 @@ class MAC:
         # tunnel costs milliseconds, and everything below is host math.
         x, u, X, it, fiters, rounded_np = jax.device_get(
             (x_dev, u, X_dev, it, fiters, rounded_dev))
+        if not np.isfinite(u):
+            # Degenerate operators (e.g. a graph disconnected even with
+            # every candidate, lambda_2 = 0 everywhere) can NaN the
+            # accumulated dual bound. Substitute a crude but rigorous one:
+            # lambda_2 <= lambda_max <= 2 max weighted degree of the FULL
+            # graph (Gershgorin on L(1)).
+            deg = np.zeros(self.num_nodes)
+            all_w = np.concatenate(
+                [np.asarray(self._w_fixed, np.float64),
+                 np.asarray(self.weights, np.float64)])
+            np.add.at(deg, self._int_idx[:, 0], all_w)
+            np.add.at(deg, self._int_idx[:, 1], all_w)
+            u = float(2.0 * deg.max(initial=0.0))
         # Observability (reference has only verbose prints + wall clocks):
         # Frank-Wolfe iterations used, cumulative inner eigensolver
         # iterations, and the Frank-Wolfe wall time.

@@ -568,3 +568,26 @@ def test_explicit_tail_average_honored_at_any_max_iters():
     mac_def = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32)
     mac_def.solve(k, max_iters=12)
     assert not mac_def.last_solve_stats["tail_averaged"]
+
+
+def test_disconnected_graph_stays_on_device_engine():
+    """A graph disconnected even with every candidate (lambda_2 = 0
+    everywhere) probes at machine-noise ratio and must NOT route to the
+    host splu engine (singular grounded system, NaN iterates); the device
+    engine supports lambda_2 = 0, and the returned dual bound stays
+    finite (review follow-up, round 3)."""
+    from mac_tpu.utils.graphs import Edge
+
+    n = 1200
+    half = n // 2
+    fixed = [Edge(i, i + 1, 1.0) for i in range(half - 1)] + \
+            [Edge(i, i + 1, 1.0) for i in range(half, n - 1)]
+    cands = [Edge(0, 5, 1.0), Edge(half, half + 9, 1.0), Edge(2, 30, 1.0)]
+    mac = MAC(fixed, cands, n)
+    assert mac.fiedler_backend == "device"
+    rounded, unrounded, upper = mac.solve(2)
+    assert rounded.sum() == 2
+    assert np.isfinite(upper)
+    obj = mac.evaluate_objective(unrounded)
+    assert np.isfinite(obj) and abs(obj) < 1e-8  # lambda_2 = 0
+    assert obj <= upper
