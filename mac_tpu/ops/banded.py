@@ -208,13 +208,16 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     du = max(int(counts.max(initial=0)), 1)
     ueid = np.full((n_pad, du), m, dtype=np.int32)
     dcol = np.zeros((n_pad, du), dtype=np.int32)
-    cursor = np.zeros(n_pad, dtype=np.int64)
+    # Vectorized slot assignment (the per-edge Python loop dominated the
+    # constructor at n >= 3e5): stable sort by row, then each edge's slot
+    # is its rank within its row = position minus the row's first
+    # position in the sorted order.
     order = np.argsort(lo, kind="stable")
-    for t in order:
-        i = int(lo[t])
-        ueid[i, cursor[i]] = t
-        dcol[i, cursor[i]] = BS + int(hi[t] - lo[t]) + (i % BS)
-        cursor[i] += 1
+    lo_s = lo[order]
+    slot = np.arange(m) - np.searchsorted(lo_s, lo_s, side="left")
+    ueid[lo_s, slot] = order.astype(np.int32)
+    dcol[lo_s, slot] = (BS + (hi[order] - lo_s) + (lo_s % BS)).astype(
+        np.int32)
 
     if perm is None:
         perm = np.arange(n, dtype=np.int64)
@@ -300,8 +303,15 @@ def assemble_bd(bop: BandedOperator, w: jax.Array,
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
     wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
     if fused is None:
+        # Gate on the device the program will actually execute on: under a
+        # jax.default_device(cpu) pin (MAC's _on_instance_device pattern)
+        # jax.default_backend() still reports the process default ('tpu'),
+        # but the Pallas TPU kernel cannot lower for a CPU executable.
+        dd = jax.config.jax_default_device
+        platform = (getattr(dd, "platform", None) or str(dd)
+                    if dd is not None else jax.default_backend())
         fused = (FUSED_ASSEMBLY_ENABLED
-                 and jax.default_backend() == "tpu"
+                 and platform == "tpu"
                  and dtype == jnp.float32)
     up = _assemble_up_fused_op(bop, wu) if fused else _assemble_up_xla(bop, wu)
     return BDRep(up=up, deg=_deg_from_up(up))
@@ -363,7 +373,7 @@ def _deg_from_up(up: jax.Array) -> jax.Array:
     return deg
 
 
-def banded_apply(bop: BandedOperator, BD, V: jax.Array,
+def banded_apply(bop: BandedOperator, BD: "BDRep", V: jax.Array,
                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """L(w) @ V for V of shape (n, q) (returns (n, q)).
 
@@ -429,7 +439,7 @@ class PrecondState(NamedTuple):
 NS_COARSE_STEPS = 3  # Newton-Schulz refinement steps per warm rebuild
 
 
-def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
+def make_banded_precond(bop: BandedOperator, BD: "BDRep", w=None,
                         smoother: str = "chain", prev_state=None,
                         use_prev=None, return_state: bool = False,
                         kind: Optional[str] = None, rebuild=None):
@@ -474,6 +484,9 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
 
     Rebuild per weight vector; returns a pure (n, q) -> (n, q) function.
     """
+    assert rebuild is None or prev_state is not None, (
+        "rebuild cadence requires a carried PrecondState (prev_state); "
+        "without it every step silently cold-builds")
     dtype = BD.up.dtype
     nb, half, s, nc = bop.nb, bop.half, bop.coarse_s, bop.coarse_nc
     n, n_pad = bop.n, bop.n_pad
@@ -622,7 +635,16 @@ def make_banded_precond(bop: BandedOperator, BD: jax.Array, w=None,
 
             ok = jnp.logical_and(jnp.all(jnp.isfinite(X)),
                                  resid(X) < resid(X0))
-            return jnp.where(ok, X, X0)
+            refined = jnp.where(ok, X, X0)
+            # (3) poisoned-carry escape: if the damped START is already
+            # non-finite (a previous step NaN'd the carried inverse),
+            # neither X nor X0 can recover — rebuild cold from the current
+            # (finite) Lc_reg instead of propagating NaN for the rest of
+            # the Frank-Wolfe run. lax.cond executes only the taken
+            # branch, so the Cholesky cost is paid only when poisoned.
+            return jax.lax.cond(
+                jnp.all(jnp.isfinite(X0)),
+                lambda _: refined, lambda _: _chol_from(Lc_reg), None)
 
         if use_prev is None:
             return _chol_inverse(Xp)

@@ -36,12 +36,16 @@ def host_tracemin_fiedler(
     rel_tol: float = 1e-8,
     lu=None,
 ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Smallest q nonzero eigenpairs of the Laplacian L (host, float64).
+    """Fiedler pair of the Laplacian L (host, float64), with a q-wide
+    Ritz block.
 
     L: scipy sparse (n, n) Laplacian. X0: (n, q) start block (warm starts
     welcome). `lu`: optional pre-computed splu factor of L[1:, 1:] (reuse
     across calls with the same weights). Returns (lam (q,), X (n, q),
-    outer iterations).
+    outer iterations). ONLY the leading pair (lam[0], X[:, 0]) is
+    residual-converged — the trailing Ritz pairs are returned solely as
+    warm-start state for the next call and may be far from eigenpairs on
+    clustered spectra.
 
     Convergence: the reference tracemin criterion
     ||L x_1 - lam_1 x_1||_1 / ||L||_inf < tol, plus an eigenvalue-relative
