@@ -94,8 +94,9 @@ class BandedOperator:
         lookup. (A compact (n_pad, half*BS) band-table gather was measured
         at 19 ms per weight update — TPU gathers run ~0.14-0.5 elt/ns —
         versus ~1.5 ms for this form.)
-    R: (n_pad, nc) float — 0/1 aggregate indicator matrix, used only to
-        assemble the coarse operator Lc = R^T (L R) via one banded apply.
+    agg: (n_pad,) int32 — coarse-aggregate id of each RCM row (nc for
+        padding rows); the 0/1 restriction indicator is built on the fly
+        inside the coarse assembly Lc = R^T (L R).
     perm / iperm: (n,) int32 RCM permutation: perm[k] = original id of
         RCM node k; iperm[orig] = RCM id. Identity when the caller built
         from already-relabeled indices.
@@ -109,7 +110,7 @@ class BandedOperator:
 
     ueid_tbl: jax.Array
     dcol_tbl: jax.Array
-    R: jax.Array
+    agg: jax.Array
     perm: jax.Array
     iperm: jax.Array
     chain_eid: jax.Array
@@ -235,9 +236,12 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     # into identical rows — a singular coarse matrix.
     s = max(1, -(-n // target_nc))
     nc = -(-n // s)
-    R = np.zeros((n_pad, nc), dtype=np.float32)
-    rows = np.arange(n)
-    R[rows, np.asarray(perm)[rows] // s] = 1.0
+    # Aggregate id per RCM row (padding rows get the out-of-range id nc,
+    # so the on-the-fly indicator has zero rows there). The dense (n, nc)
+    # 0/1 restriction matrix is materialized only transiently inside the
+    # coarse assembly — storing it was 614 MB at n = 3e5.
+    agg = np.concatenate([np.asarray(perm) // s,
+                          np.full(n_pad - n, nc, dtype=np.int64)])
     orig_idx = np.asarray(orig_idx, dtype=np.int64).reshape(-1, 2)
     olo = orig_idx.min(axis=1)
     ohi = orig_idx.max(axis=1)
@@ -248,7 +252,7 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     return BandedOperator(
         ueid_tbl=jnp.asarray(ueid),
         dcol_tbl=jnp.asarray(dcol),
-        R=jnp.asarray(R, dtype=dtype),
+        agg=jnp.asarray(agg, dtype=jnp.int32),
         perm=jnp.asarray(perm, dtype=jnp.int32),
         iperm=jnp.asarray(iperm, dtype=jnp.int32),
         chain_eid=jnp.asarray(chain_eid),
@@ -394,8 +398,20 @@ def banded_apply(bop: BandedOperator, BD: "BDRep", V: jax.Array,
     Vp = jnp.pad(Vb, ((half, half), (0, 0), (0, 0)))
     # Local centering constant per block row (exactness holds for any c_b —
     # Laplacian rows sum to zero within the window; see module docstring).
-    win = jnp.stack([Vp[o:o + nb] for o in range(ndiag)], 0)
-    cb = jnp.mean(win, axis=(0, 2))[:, None, :]
+    if ndiag * nb * BS * q > 64 * 1024 * 1024:
+        # Huge block windows (the nc-column coarse assembly at large n —
+        # 6.8 GB transient at n = 3e5): sliding-window mean via a cumsum
+        # difference instead of materializing the (ndiag, nb, BS, q)
+        # stack. Gated by SIZE, not width, so every small/medium shape
+        # keeps the legacy stacked mean bit-for-bit (cb's f32 rounding
+        # profile is part of the measured solve-quality operating point).
+        S = jnp.sum(Vp, axis=1)  # (nb + 2*half, q) per-block column sums
+        C = jnp.concatenate(
+            [jnp.zeros((1, q), S.dtype), jnp.cumsum(S, axis=0)], axis=0)
+        cb = ((C[ndiag:] - C[:-ndiag]) / (ndiag * BS))[:, None, :]
+    else:
+        win = jnp.stack([Vp[o:o + nb] for o in range(ndiag)], 0)
+        cb = jnp.mean(win, axis=(0, 2))[:, None, :]
     # Diagonal degrees + strict-upper of the diagonal block (direct and
     # transposed) + off block diagonals (direct up[t] at +t, transposed
     # up[t] shifted down t blocks at -t).
@@ -567,7 +583,9 @@ def make_banded_precond(bop: BandedOperator, BD: "BDRep", w=None,
         # columns. DEFAULT precision: Lc is preconditioner-internal; ~1e-3
         # relative error on the coarse operator is invisible to convergence
         # and the single-pass product is ~3x cheaper on the nc-column apply.
-        LR = banded_apply(bop, BD, bop.R[:n].astype(dtype),
+        Rmat = (bop.agg[:n, None]
+                == jnp.arange(nc, dtype=jnp.int32)[None, :]).astype(dtype)
+        LR = banded_apply(bop, BD, Rmat,
                           precision=jax.lax.Precision.DEFAULT)
         # Restrict rows through the permutation: aggregates live in the
         # original ordering (R's columns), rows of LR in RCM order.
