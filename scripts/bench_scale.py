@@ -17,11 +17,21 @@ sys.path.insert(0, "/root/reference")
 import numpy as np
 
 
-def synthetic(n, seed=0):
+def synthetic(n, seed=0, local=False):
+    """Chain + random loop closures. local=False: spans up to n/4 (an
+    expander-like regime with no narrow band -> the ELL path). local=True:
+    spans <= 290 (spatially local revisits, the typical SLAM regime ->
+    RCM gives a narrow band and the block-banded MXU path engages)."""
     rng = np.random.RandomState(seed)
     fixed_idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
     w_fixed = 0.5 + rng.rand(n - 1)
     m_loops = n // 2
+    if local:
+        lo = rng.randint(0, n - 300, m_loops)
+        cand_idx = np.stack(
+            [lo, lo + 2 + rng.randint(0, 290, m_loops)], 1).astype(np.int32)
+        w_cand = 0.5 + rng.rand(m_loops)
+        return fixed_idx, w_fixed, cand_idx, w_cand
     lo = rng.randint(0, n - 3, 2 * m_loops)
     span = rng.randint(2, n // 4, 2 * m_loops)
     hi = lo + span
@@ -72,14 +82,18 @@ def main():
     args = [a for a in sys.argv[1:]]
     ours_only = "--ours-only" in args
     ref_only = "--ref-only" in args
+    local = "--local" in args  # banded-compatible local-loop topology
     ns = [int(v) for v in args if not v.startswith("--")] or [30000, 100000]
     max_iters = 10
     out = []
     for n in ns:
-        fixed_idx, w_fixed, cand_idx, w_cand = synthetic(n)
+        fixed_idx, w_fixed, cand_idx, w_cand = synthetic(n, local=local)
         k = len(w_cand) // 4
-        print(f"=== n={n} m_cand={len(w_cand)} k={k} ===", flush=True)
+        print(f"=== n={n} m_cand={len(w_cand)} k={k} local={local} ===",
+              flush=True)
         rec = dict(n=n, m_cand=len(w_cand), k=k)
+        if local:
+            rec["topology"] = "local"
         if not ref_only:
             ours = run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
             print(json.dumps(dict(n=n, **ours)), flush=True)
@@ -99,12 +113,17 @@ def main():
     # MERGE into the existing record (single-sided runs fill their half):
     # a plain overwrite erased previously measured points.
     path = REPO / "scripts" / "bench_scale_results.json"
+    def key(r):
+        # Local-loop (banded) and expander (ELL) topologies are separate
+        # scaling series; merging by n alone would cross-contaminate.
+        return (r["n"], r.get("topology", "expander"))
+
     try:
-        prev = {r["n"]: r for r in json.loads(path.read_text())}
+        prev = {key(r): r for r in json.loads(path.read_text())}
     except Exception:
         prev = {}
     for rec in out:
-        merged = prev.get(rec["n"], {})
+        merged = prev.get(key(rec), {})
         merged.update(rec)
         if "ref_s" in merged and "tpu_warm_s" in merged:
             merged["speedup"] = round(merged["ref_s"] / merged["tpu_warm_s"], 2)
@@ -112,7 +131,7 @@ def main():
                 merged["quality_gap_rel"] = (
                     (merged["tpu_lam2"] - merged["ref_lam2"])
                     / merged["ref_lam2"])
-        prev[rec["n"]] = merged
+        prev[key(rec)] = merged
     path.write_text(json.dumps(
         [prev[nn] for nn in sorted(prev)], indent=2))
     print("wrote scripts/bench_scale_results.json", flush=True)
