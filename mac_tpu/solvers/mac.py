@@ -941,7 +941,10 @@ class MAC:
             u = min(u, f + grad @ (s - x))
             if verbose:
                 print(f"FW iter {it}: f = {f}, gap = {u - f}")
-            if np.linalg.norm(grad) < grad_norm_tol:
+            # Scale-aware form of the reference's absolute grad-norm stop
+            # (see mac_tpu.optimization.frankwolfe): on tiny-lambda_2
+            # graphs every gradient is absolutely small from step one.
+            if np.linalg.norm(grad) < grad_norm_tol * min(1.0, abs(f)):
                 break
             # tol <= 0 disables the gap stop, matching the device loop's
             # semantics (mac_tpu.optimization.frankwolfe).
