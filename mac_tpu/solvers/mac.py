@@ -52,15 +52,22 @@ from mac_tpu.utils.rounding import (
 # failure cases: kitti_02 (3.8e-7), ais2klinik (1.1e-8).
 F32_SPECTRAL_RATIO_MIN = 1.2e-5
 
-# Probe ratios at float64 machine-noise level mean the graph is
-# DISCONNECTED at the mid-box point (lambda_2 = 0, and since x = 1/2 has
-# the same support as x = 1, with every candidate too): there is no tiny
-# gap to resolve, and the host engine's grounded splu system would be
-# singular (NaN iterates). Genuine tiny-gap instances sit far above
-# (ais2klinik 1.1e-8, kitti_02 3.8e-7); disconnected probes measure
-# ~1e-17. Such instances stay on the device engine, which supports
-# lambda_2 = 0 (rank-one nullspace shift, no factorization).
-RATIO_DISCONNECTED_MAX = 1e-13
+def _graph_is_connected(idx: np.ndarray, n: int) -> bool:
+    """Exact O(m) connectivity of the FULL (fixed + all candidates)
+    graph via scipy csgraph. Used by the backend router: a graph that is
+    disconnected even with every candidate has lambda_2 = 0 everywhere
+    (x = 1/2 has the same support as x = 1), and the host engine's
+    grounded splu system would be singular there — such instances stay
+    on the device engine, which supports lambda_2 = 0 (rank-one
+    nullspace shift, no factorization)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    idx = np.asarray(idx).reshape(-1, 2)
+    A = sp.coo_matrix(
+        (np.ones(len(idx)), (idx[:, 0], idx[:, 1])), shape=(n, n))
+    ncomp, _ = connected_components(A, directed=False)
+    return ncomp == 1
 
 # Automatic splu-refactorization cadence for the host Frank-Wolfe path
 # (see _solve_host): refactor every p-th warm step, reuse the stale
@@ -84,6 +91,45 @@ def _is_pallas_compile_failure(exc) -> bool:
     msg = f"{type(exc).__name__}: {exc}".lower()
     return any(s in msg for s in
                ("mosaic", "pallas", "custom call", "custom_call"))
+
+
+def host_band_probe_ratio(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
+    """Cheap mid-box spectral-ratio probe for LARGE graphs (20k < n),
+    feasible only when the graph is band-narrow: RCM bandwidth <=
+    MAX_BANDWIDTH guarantees a near-fill-free splu, so a few exact
+    inverse iterations cost ~1-4 s even at n = 3e5 (the generic scipy
+    LOBPCG stage used below 20k returns noise-level — even negative —
+    estimates at this scale). Returns lambda_2(mid-box)/||L||_inf, or
+    None when the graph has no narrow band (expander-like: splu fill
+    would be dangerous, and those graphs are not tiny-gap anyway) or
+    the probe fails (e.g. disconnected -> singular grounded system)."""
+    from mac_tpu.ops.banded import MAX_BANDWIDTH, rcm_order
+    from mac_tpu.ops.host_tracemin import (
+        host_tracemin_fiedler,
+        splu_reduced,
+    )
+    from mac_tpu.utils.fiedler import default_block
+
+    idx = np.concatenate([fixed_idx, cand_idx], axis=0)
+    try:
+        _, _, bw = rcm_order(idx, num_nodes)
+        if bw == 0 or bw > MAX_BANDWIDTH:
+            return None
+        w_all = np.concatenate(
+            [np.asarray(w_fixed, np.float64),
+             0.5 * np.asarray(w_cand, np.float64)])
+        L = weight_graph_lap_from_edges(idx, w_all, num_nodes)
+        lnorm = float(np.abs(L).sum(axis=1).max())
+        lu = splu_reduced(L)
+        X0 = default_block(num_nodes, dtype=np.float64)
+        lam, _, _ = host_tracemin_fiedler(
+            L, X0, tol=1e-6, maxiter=15, rel_tol=1e-4, lu=lu)
+        lam0 = float(lam[0])
+        if not np.isfinite(lam0) or lam0 <= 0 or lnorm <= 0:
+            return None
+        return lam0 / lnorm
+    except Exception:
+        return None
 
 
 def choose_compute_dtype(fixed_idx, w_fixed, cand_idx, w_cand, num_nodes):
@@ -329,6 +375,18 @@ class MAC:
                 self.spectral_ratio = ratio
                 self._tiny_gap = (
                     ratio is not None and ratio < F32_SPECTRAL_RATIO_MIN)
+            elif (dtype == jnp.float64 and mesh is None
+                  and fiedler_backend is None and n <= 1_000_000):
+                # Larger float64-session graphs: the generic probe above
+                # is noise at this scale, but band-narrow graphs (the
+                # regime that can be tiny-gap in practice) admit a cheap
+                # exact splu probe. None = no narrow band / probe failed
+                # -> stay on the device engine.
+                ratio = host_band_probe_ratio(
+                    fixed_idx, w_fixed, cand_idx, w_cand, n)
+                self.spectral_ratio = ratio
+                self._tiny_gap = (
+                    ratio is not None and ratio < F32_SPECTRAL_RATIO_MIN)
         self.dtype = dtype
         self.num_nodes = n
         self.fixed_idx = fixed_idx
@@ -373,9 +431,15 @@ class MAC:
         # the probe runs for small graphs purely to route the backend
         # (see the dtype block above).
         if fiedler_backend is None:
-            disconnected = (
-                self.spectral_ratio is not None
-                and self.spectral_ratio < RATIO_DISCONNECTED_MAX)
+            # The host engine's grounded splu system is singular on a
+            # graph that is disconnected even with every candidate
+            # (lambda_2 = 0 everywhere). The probe ratio cannot separate
+            # "disconnected" from "tiny gap" reliably — at n >= 1e5 the
+            # stage-1 estimate is noise-level and can even come out
+            # negative on CONNECTED graphs — so decide by an exact (and
+            # cheap, O(m)) connectivity check instead.
+            disconnected = self._tiny_gap and not _graph_is_connected(
+                np.concatenate([fixed_idx, cand_idx], axis=0), n)
             fiedler_backend = (
                 "host" if (self._tiny_gap and not disconnected
                            and mesh is None)

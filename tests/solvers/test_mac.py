@@ -591,3 +591,33 @@ def test_disconnected_graph_stays_on_device_engine():
     obj = mac.evaluate_objective(unrounded)
     assert np.isfinite(obj) and abs(obj) < 1e-8  # lambda_2 = 0
     assert obj <= upper
+
+
+def test_large_f64_session_band_probe_routing():
+    """20k < n float64-session routing: band-narrow tiny-gap graphs get
+    the cheap splu probe and route host; expander-like graphs skip the
+    probe (no narrow band) and stay on the device engine (round 3)."""
+    from mac_tpu.solvers.mac import host_band_probe_ratio
+
+    rng = np.random.RandomState(0)
+    n = 30000
+    fixed_idx = np.stack([np.arange(n - 1), np.arange(1, n)], 1).astype(np.int32)
+    w_fixed = 0.5 + rng.rand(n - 1)
+    # Local loops: narrow band, tiny gap.
+    lo = rng.randint(0, n - 300, n // 2)
+    ci_local = np.stack([lo, lo + 2 + rng.randint(0, 290, n // 2)], 1).astype(np.int32)
+    w_local = 0.5 + rng.rand(len(ci_local))
+    r = host_band_probe_ratio(fixed_idx, w_fixed, ci_local, w_local, n)
+    assert r is not None and 0 < r < 1.2e-5
+    mac = MAC((fixed_idx, w_fixed), (ci_local, w_local), n)
+    assert mac.fiedler_backend == "host"
+
+    # Expander loops: no narrow band -> probe declines, device engine.
+    lo = rng.randint(0, n - 3, n // 2)
+    span = rng.randint(2, n // 4, n // 2)
+    keep = lo + span <= n - 1
+    ci_exp = np.stack([lo[keep], (lo + span)[keep]], 1).astype(np.int32)
+    w_exp = 0.5 + rng.rand(len(ci_exp))
+    assert host_band_probe_ratio(fixed_idx, w_fixed, ci_exp, w_exp, n) is None
+    mac2 = MAC((fixed_idx, w_fixed), (ci_exp, w_exp), n)
+    assert mac2.fiedler_backend == "device"
