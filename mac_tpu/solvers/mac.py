@@ -310,6 +310,7 @@ class MAC:
         fiedler_backend=None,
         mesh_apply=None,
         precond_refresh_period=None,
+        fw_polish=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
         the Laplacian product row-blocks across devices
@@ -332,7 +333,17 @@ class MAC:
         the same cadence reuses the previous step's sparse factor for
         inexact inverse iteration — measured HARMFUL there (see
         HOST_LU_REFRESH), so the automatic policy keeps 1; the knob
-        remains for experimentation. None (default) = automatic."""
+        remains for experimentation. None (default) = automatic.
+
+        `fw_polish`: one GUARDED exact Frank-Wolfe polish step appended
+        to the float32 fast path's solve: an exact float64 host
+        eigensolve (splu TRACEMIN) at the final iterate, a top-k step
+        tried at two small step sizes, accepted only if the true (f64)
+        objective improves. Pins the float32 termination band's minus
+        side at the cost of ~2-3 host eigensolves. None = automatic:
+        enabled on the banded float32 path for small graphs (n <= 4096,
+        where the band makes splu near-fill-free and the f32 band is
+        widest relative to the objective); off elsewhere."""
         fixed_idx, w_fixed = edges_to_arrays(fixed_edges)
         cand_idx, w_cand = edges_to_arrays(candidate_edges)
         n = int(num_nodes)
@@ -459,7 +470,7 @@ class MAC:
                               fiedler_coeff_dtype, fiedler_warm_maxiter,
                               fiedler_block_q, mesh, use_banded,
                               fw_tail_average, mesh_apply,
-                              fiedler_warm_inner_iters)
+                              fiedler_warm_inner_iters, fw_polish)
 
     def _device_ctx(self):
         """Context manager pinning computation to this instance's device
@@ -477,7 +488,7 @@ class MAC:
                      fiedler_coeff_dtype, fiedler_warm_maxiter,
                      fiedler_block_q, mesh, use_banded,
                      fw_tail_average=None, mesh_apply=None,
-                     fiedler_warm_inner_iters=None):
+                     fiedler_warm_inner_iters=None, fw_polish=None):
         dtype = self.dtype
         self._w_fixed = jnp.asarray(w_fixed, dtype=dtype)
         self._w_cand = jnp.asarray(w_cand, dtype=dtype)
@@ -639,6 +650,14 @@ class MAC:
         if fw_tail_average is None:
             fw_tail_average = fast32
         self.fw_tail_average = bool(fw_tail_average)
+        # Guarded exact polish step (see __init__ docstring): automatic on
+        # the banded float32 path for small graphs — the regime where the
+        # f32 termination band is widest relative to the objective and the
+        # narrow band makes the host splu eigensolve near-free.
+        if fw_polish is None:
+            fw_polish = bool(fast32 and self.num_nodes <= 4096
+                             and self.mesh is None)
+        self.fw_polish = bool(fw_polish)
         self.fiedler_tol = float(fiedler_tol)
         self.fiedler_maxiter = int(fiedler_maxiter)
         self.fiedler_inner_iters = int(fiedler_inner_iters)
@@ -787,6 +806,60 @@ class MAC:
         )
         d = v[idx[:, 0]] - v[idx[:, 1]]
         return float((w * d * d).sum() / (v * v).sum())
+
+    def _host_polish(self, x, k):
+        """One GUARDED exact Frank-Wolfe polish step (see __init__
+        docstring, fw_polish): exact float64 host eigensolve (splu
+        TRACEMIN, original node ordering) at the float32 path's final
+        iterate, top-k direction, two trial step sizes; keep the best of
+        {x, trials} by the TRUE (f64) objective. Returns
+        (x_best, v_best, accepted): v_best is the exact Fiedler vector
+        at x_best in ORIGINAL ordering (also returned when the step is
+        rejected — it still tightens the caller's dual certificate);
+        accepted says whether a trial step beat the incoming iterate."""
+        from mac_tpu.ops.host_tracemin import (
+            host_tracemin_fiedler,
+            splu_reduced,
+        )
+        from mac_tpu.utils.fiedler import default_block
+
+        n = self.num_nodes
+        m = len(self.weights)
+        idx = np.concatenate([self.fixed_idx, self.cand_idx], axis=0)
+        wf = np.asarray(self._w_fixed, np.float64)
+        wc = np.asarray(self.weights, np.float64)
+        ci = self.cand_idx[:, 0].astype(np.int64)
+        cj = self.cand_idx[:, 1].astype(np.int64)
+        X0 = default_block(n, dtype=np.float64)
+
+        def f_grad_v(xv):
+            xm = np.where(xv > self.min_selection_weight_tol, xv, 0.0)
+            L = weight_graph_lap_from_edges(
+                idx, np.concatenate([wf, xm * wc]), n)
+            lam, X, _ = host_tracemin_fiedler(
+                L, X0, tol=1e-9, maxiter=40, rel_tol=1e-8,
+                lu=splu_reduced(L))
+            v = X[:, 0]
+            d = v[ci] - v[cj]
+            return float(lam[0]), wc * d * d, v
+
+        x = np.asarray(x, np.float64)
+        f0, g, v0 = f_grad_v(x)
+        best_x, best_f, best_v, accepted = x, f0, v0, False
+        for _ in range(3):  # exact steps, monotone by construction
+            s = np.zeros(m)
+            top = np.argpartition(g, m - k)[m - k:]
+            s[top] = 1.0
+            improved = False
+            for gamma in (1.0 / 32.0, 1.0 / 16.0):
+                xt = best_x + gamma * (s - best_x)
+                ft, gt, vt = f_grad_v(xt)
+                if ft > best_f:
+                    best_x, best_f, best_v, g = xt, ft, vt, gt
+                    improved = accepted = True
+            if not improved:
+                break
+        return best_x, best_v, accepted
 
     def _eval_many_impl(self, params, xs: jax.Array, X0: jax.Array) -> jax.Array:
         return jax.vmap(lambda x: self._eval_impl(params, x, X0))(xs)
@@ -1297,6 +1370,28 @@ class MAC:
             "tail_averaged": bool(tail_avg),
         }
 
+        polished_v = None
+        if self.fw_polish:
+            x_pol, v_pol, accepted = self._host_polish(
+                np.asarray(x, np.float64), k)
+            # v from the exact polish eigensolve lives in ORIGINAL node
+            # ordering; the certificate below indexes the (possibly
+            # RCM-relabeled) _int_idx space. Used even when the step is
+            # rejected — the exact eigenvector tightens the certificate.
+            polished_v = (v_pol[self._perm]
+                          if self._perm is not None else v_pol)
+            if accepted:
+                x = x_pol
+                x_dev = jnp.asarray(x_pol, self.dtype)
+                if fuse_nearest:
+                    # The in-graph nearest rounding was computed from the
+                    # pre-polish iterate; recompute on the host.
+                    rounded_np = np.asarray(round_nearest(
+                        jnp.asarray(x_pol), k,
+                        weights=jnp.asarray(self.weights, jnp.float64),
+                        break_ties_decimal_tol=10))
+            self.last_solve_stats["polished"] = bool(accepted)
+
         start = timer()
         if rounding == "madow":
             key = jax.random.PRNGKey(seed)
@@ -1333,7 +1428,8 @@ class MAC:
             # (use_cache only: with the cache off the loop state's X is by
             # design the untouched random X0, whose Rayleigh quotient is a
             # uselessly loose ~||L|| — keep the in-loop bound there.)
-            v = np.asarray(X[:, 0], dtype=np.float64)
+            v = (polished_v if polished_v is not None
+                 else np.asarray(X[:, 0], dtype=np.float64))
             f64 = self._refine_lambda(unrounded, v)
             d = v[self._int_idx[len(self.fixed_idx):, 0]] \
                 - v[self._int_idx[len(self.fixed_idx):, 1]]

@@ -621,3 +621,42 @@ def test_large_f64_session_band_probe_routing():
     assert host_band_probe_ratio(fixed_idx, w_fixed, ci_exp, w_exp, n) is None
     mac2 = MAC((fixed_idx, w_fixed), (ci_exp, w_exp), n)
     assert mac2.fiedler_backend == "device"
+
+
+def test_fw_polish_guarded_improvement():
+    """The guarded exact polish step (fw_polish, auto on small fast32
+    graphs) must never return a worse objective than the incoming
+    iterate, and must report its accept decision in last_solve_stats."""
+    import jax.numpy as jnp
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(11)
+    n = 600
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    cands = [Edge(i, i + 4 + (i % 7), 0.5 + rng.rand())
+             for i in range(0, 550, 5)]
+    k = len(cands) // 2
+
+    mac_on = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True)
+    assert mac_on.fw_polish  # auto-on: fast32, n <= 4096
+    mac_off = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True,
+                  fw_polish=False)
+    assert not mac_off.fw_polish
+
+    _, u_on, up_on = mac_on.solve(k)
+    assert "polished" in mac_on.last_solve_stats
+    _, u_off, _ = mac_off.solve(k)
+    f_on = mac_on.evaluate_objective(u_on)
+    f_off = mac_on.evaluate_objective(u_off)
+    # Guarded: never worse than the unpolished path (tiny refinement
+    # tolerance: the two objectives come from different eigensolves).
+    assert f_on >= f_off - 1e-8, (f_on, f_off)
+    assert f_on <= up_on + 1e-10
+
+    # Direct monotonicity of the polish primitive.
+    x = np.full(len(cands), k / len(cands))
+    f_in = mac_on.evaluate_objective(x)
+    x_p, v_p, accepted = mac_on._host_polish(x, k)
+    f_out = mac_on.evaluate_objective(x_p)
+    assert f_out >= f_in - 1e-8
+    assert v_p.shape == (n,)
