@@ -215,7 +215,10 @@ def test_banded_path_composes_with_mesh(mesh):
     assert mac_bm._banded is not None and mac_bm._banded_shardings is not None
     r1, x1, u1 = mac_bm.solve(k, x_init, max_iters=6)
 
-    mac_b = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32)
+    # fw_polish auto-engages meshless (n <= 4096 fast32) but cannot under
+    # a mesh — disable it for a like-for-like numerical comparison.
+    mac_b = MAC(fixed, cands, n, use_banded=True, dtype=jnp.float32,
+                fw_polish=False)
     r2, x2, u2 = mac_b.solve(k, x_init, max_iters=6)
     f1 = mac_b.evaluate_objective(x1)
     f2 = mac_b.evaluate_objective(x2)
