@@ -1179,7 +1179,8 @@ class MAC:
         steps (maxiter 40, a decaying warm-cap schedule, tail averaging,
         and the noisy-bound duality stop disabled) — measured on
         city10000 to land a strictly better relaxed objective than 20
-        reference-style exact steps in a fraction of the time; on the
+        reference-style exact steps in a fraction of the time (plus, for
+        n <= 4096, the guarded exact fw_polish step — see __init__); on the
         host-routed tiny-gap path it is a cap of 20 exact steps under the
         1e-4 duality-gap stop (these ill-conditioned graphs usually stop
         after a handful of steps, but benefit from headroom beyond 5 —
