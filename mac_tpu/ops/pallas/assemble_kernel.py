@@ -29,6 +29,8 @@ reference performs with scipy COO assembly every FW iteration
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -64,18 +66,23 @@ def assemble_up_fused(dcol_tbl: jax.Array, wu: jax.Array, *, half: int,
     if du_pad != du:
         wu = jnp.pad(wu, ((0, 0), (0, du_pad - du)))
         dcol_tbl = jnp.pad(dcol_tbl, ((0, 0), (0, du_pad - du)))
+    # Index-map literals MUST be int32: x64 is enabled at import, so a
+    # bare Python 0 traces as i64 and Mosaic fails to legalize the index
+    # map's func.return (measured on the real TPU: "failed to legalize
+    # operation 'func.return' ... (i32, i64)").
+    z = np.int32(0)
     return pl.pallas_call(
         functools.partial(_assemble_kernel, du=du, half=half),
         grid=(nb,),
         out_shape=jax.ShapeDtypeStruct((half + 1, nb, BS, BS), wu.dtype),
         in_specs=[
-            pl.BlockSpec((BS, du_pad), lambda b: (b, 0),
+            pl.BlockSpec((BS, du_pad), lambda b: (b, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BS, du_pad), lambda b: (b, 0),
+            pl.BlockSpec((BS, du_pad), lambda b: (b, z),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((half + 1, 1, BS, BS),
-                               lambda b: (0, b, 0, 0),
+                               lambda b: (z, b, z, z),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(dcol_tbl, wu)
