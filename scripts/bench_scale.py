@@ -83,6 +83,15 @@ def main():
     ours_only = "--ours-only" in args
     ref_only = "--ref-only" in args
     local = "--local" in args  # banded-compatible local-loop topology
+    # Second, reference-quality-MATCHED operating point (r3 VERDICT item
+    # 3): the reference's absolute grad-norm stop halts it after ~4
+    # effective steps on tiny-lambda2 local graphs, so "--match-iters 4"
+    # records ours at the same effort level alongside the full-quality
+    # 10-step point.
+    match_iters = None
+    for a in args:
+        if a.startswith("--match-iters="):
+            match_iters = int(a.split("=", 1)[1])
     ns = [int(v) for v in args if not v.startswith("--")] or [30000, 100000]
     max_iters = 10
     out = []
@@ -99,6 +108,14 @@ def main():
             print(json.dumps(dict(n=n, **ours)), flush=True)
             rec.update(tpu_warm_s=ours["warm_s"],
                        tpu_lam2=ours["lam2_unrounded"])
+            if match_iters is not None:
+                oq = run_ours(fixed_idx, w_fixed, cand_idx, w_cand, n, k,
+                              match_iters)
+                print(json.dumps(dict(n=n, point=f"match{match_iters}",
+                                      **oq)), flush=True)
+                rec.update(tpu_matched_s=oq["warm_s"],
+                           tpu_matched_lam2=oq["lam2_unrounded"],
+                           matched_iters=match_iters)
         if not ours_only:
             ref = run_reference(fixed_idx, w_fixed, cand_idx, w_cand, n, k, max_iters)
             print(json.dumps(dict(n=n, **ref)), flush=True)
@@ -130,6 +147,13 @@ def main():
             if "ref_lam2" in merged and "tpu_lam2" in merged:
                 merged["quality_gap_rel"] = (
                     (merged["tpu_lam2"] - merged["ref_lam2"])
+                    / merged["ref_lam2"])
+        if "ref_s" in merged and "tpu_matched_s" in merged:
+            merged["speedup_matched"] = round(
+                merged["ref_s"] / merged["tpu_matched_s"], 2)
+            if "ref_lam2" in merged and "tpu_matched_lam2" in merged:
+                merged["matched_gap_rel"] = (
+                    (merged["tpu_matched_lam2"] - merged["ref_lam2"])
                     / merged["ref_lam2"])
         prev[key(rec)] = merged
     path.write_text(json.dumps(

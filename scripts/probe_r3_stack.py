@@ -38,6 +38,17 @@ CONFIGS = {
                     fiedler_warm_maxiter=DECAY,
                     fw_tail_average=True),
                dict(max_iters=32, relative_duality_gap_tol=0.0)),
+    # Round-4 (TPU-measured): the p* cadence skips flipped quality hard
+    # negative on real TPU (-2.4e-3 .. -5.6e-3) — dead. flat6 (now the
+    # automatic default) measured 0.2280 s / +1.03e-3. Remaining lever:
+    # fewer FW steps. "auto" = the current automatic policy as-is.
+    "auto": (dict(), dict()),
+    "auto+s32": (dict(fiedler_warm_maxiter=DECAY, fw_tail_average=True),
+                 dict(max_iters=32, relative_duality_gap_tol=0.0)),
+    "auto+s28": (dict(fiedler_warm_maxiter=DECAY, fw_tail_average=True),
+                 dict(max_iters=28, relative_duality_gap_tol=0.0)),
+    "auto+s24": (dict(fiedler_warm_maxiter=DECAY, fw_tail_average=True),
+                 dict(max_iters=24, relative_duality_gap_tol=0.0)),
 }
 
 

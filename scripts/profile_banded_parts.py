@@ -33,9 +33,13 @@ def timeit(name, fn, *args, reps=200):
     def loop(x, *rest):
         def body(i, x):
             out = fn(x, *rest)
-            if out.shape == x.shape and out.dtype == x.dtype:
+            if (hasattr(out, "shape") and out.shape == x.shape
+                    and out.dtype == x.dtype):
                 return out * 0.999 + x * 0.001
-            return x * 0.999 + 0.001 * jnp.mean(out).astype(x.dtype)
+            # Pytree outputs (e.g. BDRep): fold the first leaf's mean back
+            # into the carry so the loop body is not dead code.
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return x * 0.999 + 0.001 * jnp.mean(leaf).astype(x.dtype)
         return jax.lax.fori_loop(0, reps, body, x)
 
     out = jax.block_until_ready(loop(*args))

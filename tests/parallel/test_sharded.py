@@ -223,3 +223,30 @@ def test_banded_path_composes_with_mesh(mesh):
     f1 = mac_b.evaluate_objective(x1)
     f2 = mac_b.evaluate_objective(x2)
     np.testing.assert_allclose(f1, f2, rtol=1e-4)
+
+
+def test_mesh_solve_parity_non_toy(mesh):
+    """Solve-on-mesh parity at n = 10,000 (r3 VERDICT item 6: previous
+    mesh parity tests topped out at n ~ 101, a scale where sharding cannot
+    matter). ELL path, capped eigensolver + 3 FW steps to keep the
+    8-virtual-CPU run bounded; parity is on the relaxed objective."""
+    n = 10_000
+    G = _chain_plus_loops(n, 2_000, seed=11)
+    edges = nx_to_mac(G)
+    fixed = [e for e in edges if abs(e.i - e.j) == 1]
+    cands = [e for e in edges if abs(e.i - e.j) > 1]
+    k = len(cands) // 2
+    kw = dict(fiedler_maxiter=20, fiedler_inner_iters=6)
+
+    mac_sharded = MAC(fixed, cands, n, mesh=mesh, **kw)
+    r1, u1, b1 = mac_sharded.solve(k, max_iters=3)
+
+    mac_local = MAC(fixed, cands, n, **kw)
+    r2, u2, b2 = mac_local.solve(k, max_iters=3)
+
+    f1 = mac_local.evaluate_objective(u1)
+    f2 = mac_local.evaluate_objective(u2)
+    assert np.isclose(f1, f2, rtol=1e-5), (f1, f2)
+    assert np.isclose(b1, b2, rtol=1e-5)
+    # The operator tables must actually live across the graph axis.
+    assert len(mac_sharded._sharded.nbr_tbl.sharding.device_set) >= 4

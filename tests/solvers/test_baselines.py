@@ -341,3 +341,47 @@ def test_esp_streaming_large_nonchain_smoke():
     assert (sel[0].i, sel[0].j) == (
         stream.all_candidate_edges[int(np.argmax(w * q_ref))].i,
         stream.all_candidate_edges[int(np.argmax(w * q_ref))].j)
+
+
+def test_esp_streaming_matches_dense_z():
+    """Forced-streaming GreedyESP (z_budget_bytes tiny: Gram entries from
+    on-demand per-pivot solve columns, never a dense (n, m) Z) must select
+    the same subsets as the dense-Z path on a non-chain instance — r3
+    VERDICT item 8's missing correctness half."""
+    import resource
+
+    import numpy as np
+    from mac_tpu.solvers.greedy_esp import GreedyESP
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(17)
+    n = 3000
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    # Meshy rungs every ~100 nodes break the chain closed form.
+    fixed += [Edge(i, i + 50, 1.0 + rng.rand()) for i in range(0, n - 50, 97)]
+    cands, seen = [], set()
+    while len(cands) < 18:
+        i, j = sorted(rng.randint(0, n, 2))
+        if j - i > 1 and (i, j) not in seen:
+            seen.add((i, j))
+            cands.append(Edge(int(i), int(j), 0.5 + rng.rand()))
+    ks = [3, 6]
+
+    esp_dense = GreedyESP(fixed, cands, n)
+    assert not esp_dense._fixed_is_chain
+    esp_dense.SCAN_MIN_WORK = 10**18  # force the host lazy loop
+    assert not esp_dense._z_streaming()
+    res_d, _, _ = esp_dense.subsets_lazy(ks)
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    esp_stream = GreedyESP(fixed, cands, n, z_budget_bytes=1024)
+    esp_stream.SCAN_MIN_WORK = 10**18
+    assert esp_stream._z_streaming()
+    res_s, _, _ = esp_stream.subsets_lazy(ks)
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+    for rd, rs in zip(res_d, res_s):
+        assert np.array_equal(np.flatnonzero(rd), np.flatnonzero(rs))
+    # Streaming must not have materialized anything Z-sized (the check is
+    # generous: ru_maxrss is a process-lifetime high-water mark).
+    assert rss_after - rss_before < 512 * 1024  # kB

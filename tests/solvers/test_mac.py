@@ -656,7 +656,89 @@ def test_fw_polish_guarded_improvement():
     # Direct monotonicity of the polish primitive.
     x = np.full(len(cands), k / len(cands))
     f_in = mac_on.evaluate_objective(x)
-    x_p, v_p, accepted = mac_on._host_polish(x, k)
+    x_p, v_p, X_p, accepted = mac_on._host_polish(x, k)
     f_out = mac_on.evaluate_objective(x_p)
     assert f_out >= f_in - 1e-8
     assert v_p.shape == (n,)
+    assert X_p.shape[0] == n  # warm-start block for the round guard
+
+
+def test_incremental_host_lap_parity():
+    """_IncrementalHostLap must reproduce weight_graph_lap_from_edges
+    exactly for arbitrary candidate multipliers (it replaces the per-step
+    CSR rebuild in the host Frank-Wolfe loop, fw_polish, and the rounding
+    guard)."""
+    from mac_tpu.solvers.mac import _IncrementalHostLap
+    from mac_tpu.utils.graphs import Edge, weight_graph_lap_from_edges
+
+    rng = np.random.RandomState(3)
+    n = 40
+    fixed = [Edge(i, i + 1, 0.5 + rng.rand()) for i in range(n - 1)]
+    # Include a duplicate candidate edge (same endpoints twice) — the
+    # scatter-add must accumulate both into the shared CSR slots.
+    cands = [Edge(rng.randint(0, n), rng.randint(0, n), 0.5 + rng.rand())
+             for _ in range(25)]
+    cands = [e for e in cands if e.i != e.j] + [Edge(0, 5, 2.0),
+                                                Edge(0, 5, 3.0)]
+    fidx = np.array([[e.i, e.j] for e in fixed])
+    cidx = np.array([[e.i, e.j] for e in cands])
+    wf = np.array([e.weight for e in fixed])
+    wc = np.array([e.weight for e in cands])
+    idx = np.concatenate([fidx, cidx])
+
+    inc = _IncrementalHostLap(idx, wf, wc, cidx, n)
+    for _ in range(3):
+        xm = rng.rand(len(cands))
+        L_inc = inc.build(xm)
+        L_ref = weight_graph_lap_from_edges(
+            idx, np.concatenate([wf, xm * wc]), n)
+        assert np.max(np.abs((L_inc - L_ref).toarray())) < 1e-12
+
+
+def test_round_guard_repairs_collapsed_rounding():
+    """The post-rounding exact repair (_round_guard_impl) must detect a
+    collapsed nearest-rounded selection and climb to a strictly better
+    one, while a healthy selection passes through untouched."""
+    import jax.numpy as jnp
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(5)
+    # Two chain communities joined only by candidate bridges: dropping
+    # every bridge collapses lambda_2 to ~0 while in-community candidates
+    # keep their weight — exactly the nearest-rounding failure mode.
+    half = 40
+    n = 2 * half
+    fixed = [Edge(i, i + 1, 1.0 + rng.rand()) for i in range(half - 1)]
+    fixed += [Edge(half + i, half + i + 1, 1.0 + rng.rand())
+              for i in range(half - 1)]
+    bridges = [Edge(10, half + 10, 0.6), Edge(20, half + 20, 0.6)]
+    inside = [Edge(i, i + 2, 1.0) for i in range(0, 30, 3)]
+    cands = bridges + inside
+    k = 4
+
+    mac = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True)
+    m = len(cands)
+    # Relaxed-ish iterate that spreads weight everywhere; collapsed
+    # selection: k in-community edges, NO bridge.
+    x_rel = np.full(m, k / m)
+    bad = np.zeros(m)
+    bad[2:2 + k] = 1.0
+    v0 = np.ones(n)  # arbitrary warm block seed
+    f_rel = float(mac.evaluate_objective(x_rel + 0.2))  # positive anchor
+    repaired, hit = mac._round_guard_impl(
+        bad, jnp.asarray(x_rel, jnp.float32), max(f_rel, 0.05), k, seed=0)
+    assert hit
+    assert repaired.sum() == k
+    f_bad = mac.evaluate_objective(bad)
+    f_rep = mac.evaluate_objective(repaired)
+    assert f_rep > f_bad + 1e-6
+    assert repaired[0] > 0.5 or repaired[1] > 0.5  # a bridge was added
+
+    # Healthy selection (bridges included): guard must not touch it.
+    good = np.zeros(m)
+    good[:k] = 1.0
+    f_good = float(mac.evaluate_objective(good))
+    kept, hit2 = mac._round_guard_impl(
+        good, jnp.asarray(x_rel, jnp.float32), f_good, k, seed=0)
+    assert not hit2
+    assert np.array_equal(kept, good)
