@@ -83,12 +83,46 @@ def main():
 
     timeit(f"chain-LDL block{B.CHAIN_LDL_BLOCK}", ldl, w, reps=100)
 
+    nc0, s0 = bop.coarse_nc, bop.coarse_s
+    Rmat = (bop.agg[:n, None]
+            == jnp.arange(nc0, dtype=jnp.int32)[None, :]).astype(dt)
+
     def coarse_lr(wv):
         BD2 = B.assemble_bd(bop, wv)
-        return B.banded_apply(bop, BD2, bop.R[:n].astype(dt),
+        return B.banded_apply(bop, BD2, Rmat,
                               precision=jax.lax.Precision.DEFAULT)
 
     timeit("assemble+LR apply(nc cols)", coarse_lr, w, reps=100)
+
+    # Candidate replacement: Lc via the dense coarse incidence matmul
+    # Lc = (w . Ec)^T @ Ec, Ec[e] = +-1 at the endpoint aggregates
+    # (original-order aggregate = node_id // s). Exact same matrix as
+    # R^T (L R); one (nc, m) @ (m, nc) MXU product instead of an
+    # nc-column banded apply.
+    a_e = idx[:, 0] // s0
+    b_e = idx[:, 1] // s0
+    m_all = len(a_e)
+    Ec_np = np.zeros((m_all, nc0), np.float32)
+    rows = np.arange(m_all)
+    np.add.at(Ec_np, (rows, a_e), 1.0)
+    np.add.at(Ec_np, (rows, b_e), -1.0)
+    Ec = jnp.asarray(Ec_np, dt)
+
+    def coarse_einc(wv):
+        Ew = Ec * wv[:, None]
+        return jnp.matmul(Ew.T, Ec, precision=jax.lax.Precision.DEFAULT)
+
+    timeit("Lc via incidence matmul", coarse_einc, w, reps=100)
+    # Parity check (loose: DEFAULT-precision products both sides).
+    Lc_a = np.asarray(jax.jit(coarse_einc)(w), np.float64)
+    LR = jax.jit(coarse_lr)(w)
+    LRn = LR[bop.iperm]
+    LRp = jnp.concatenate(
+        [LRn, jnp.zeros((nc0 * s0 - n, nc0), dt)], axis=0)
+    Lc_b = np.asarray(LRp.reshape(nc0, s0, nc0).sum(axis=1), np.float64)
+    scale = max(np.abs(Lc_b).max(), 1e-30)
+    print(f"Lc parity: max|diff|/max|Lc| = "
+          f"{np.abs(Lc_a - Lc_b).max() / scale:.2e}", flush=True)
 
     # Full precond build: cold (chol) vs warm (NS).
     from mac_tpu.ops.banded import PrecondState
