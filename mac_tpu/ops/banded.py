@@ -53,11 +53,20 @@ import numpy as np
 
 class BDRep(NamedTuple):
     """Assembled weight-dependent operator data (see assemble_bd): the
-    upper block diagonals and the degree vector — the lower diagonals are
-    implied by symmetry and consumed via transposed contractions."""
+    upper block diagonals (stored TRANSPOSED — see ut) and the degree
+    vector — the lower diagonals are implied by symmetry and consumed via
+    transposed contractions."""
 
-    up: jax.Array   # (half+1, nb, BS, BS): up[t][b] = L[block b, block b+t]
-                    # (t=0 holds the STRICT upper triangle of the diagonal)
+    ut: jax.Array   # (half+1, nb, BS, BS): ut[t][b] = L[block b, block
+                    # b+t]^T, i.e. ut[t][b][c, r] = L[b*BS+r, (b+t)*BS+c]
+                    # (t=0 holds the strict upper triangle, transposed).
+                    # The transposed orientation lets the assembly gather
+                    # and the fused Pallas kernel run with n_pad on the
+                    # LANE axis (round 4: the (n_pad, du) weight gather +
+                    # its pad-to-128 was 577+ us/FW-step on city10000 —
+                    # 16x lane waste); the apply consumes either
+                    # orientation at equal MXU cost by swapping einsum
+                    # subscripts.
     deg: jax.Array  # (nb, BS) weighted degrees (the diagonal of L)
 
 BS = 128  # MXU-aligned node-block size
@@ -85,12 +94,17 @@ PRECOND_KIND = "mult"
 class BandedOperator:
     """Static (per-topology) tables for block-banded L(w) products.
 
-    ueid_tbl: (n_pad, du) int32 — upper-neighbor edge ids per node (edge
-        (i, j > i) listed at row i), sentinel m (weight 0) in padding.
-    dcol_tbl: (n_pad, du) int32 — the SHEARED column each slot's -w lands
+    ueid_tbl: (du, n_pad) int32 — upper-neighbor edge ids per node (edge
+        (i, j > i) listed at column i), sentinel m (weight 0) in padding.
+        Stored TRANSPOSED (nodes on the LANE axis): the per-FW-step
+        weight gather w_pad[ueid_tbl] then tiles as du sublanes x n_pad
+        lanes instead of wasting 120 of 128 lanes per node row (round-4
+        trace: the (n_pad, du) gather + its pad-to-128 for the fused
+        kernel cost 577+ us/step on city10000).
+    dcol_tbl: (du, n_pad) int32 — the SHEARED column each slot's -w lands
         in: BS + (j - i) + (i mod BS) (0 for padding slots — never read).
         assemble_bd materializes the sheared band rows by du iota-compare
-        accumulations, so the only gather is the tiny (n_pad, du) weight
+        accumulations, so the only gather is the tiny (du, n_pad) weight
         lookup. (A compact (n_pad, half*BS) band-table gather was measured
         at 19 ms per weight update — TPU gathers run ~0.14-0.5 elt/ns —
         versus ~1.5 ms for this form.)
@@ -250,8 +264,8 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     chain_eid[olo[is_chain]] = np.arange(m, dtype=np.int32)[is_chain]
 
     return BandedOperator(
-        ueid_tbl=jnp.asarray(ueid),
-        dcol_tbl=jnp.asarray(dcol),
+        ueid_tbl=jnp.asarray(np.ascontiguousarray(ueid.T)),
+        dcol_tbl=jnp.asarray(np.ascontiguousarray(dcol.T)),
         agg=jnp.asarray(agg, dtype=jnp.int32),
         perm=jnp.asarray(perm, dtype=jnp.int32),
         iperm=jnp.asarray(iperm, dtype=jnp.int32),
@@ -305,7 +319,7 @@ def assemble_bd(bop: BandedOperator, w: jax.Array,
     Pallas custom call across a 'graph'-sharded output."""
     dtype = w.dtype
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
-    wu = w_pad[bop.ueid_tbl]  # (n_pad, du)
+    wu = w_pad[bop.ueid_tbl]  # (du, n_pad): nodes on the lane axis
     if fused is None:
         # Gate on the device the program will actually execute on: under a
         # jax.default_device(cpu) pin (MAC's _on_instance_device pattern)
@@ -317,58 +331,62 @@ def assemble_bd(bop: BandedOperator, w: jax.Array,
         fused = (FUSED_ASSEMBLY_ENABLED
                  and platform == "tpu"
                  and dtype == jnp.float32)
-    up = _assemble_up_fused_op(bop, wu) if fused else _assemble_up_xla(bop, wu)
-    return BDRep(up=up, deg=_deg_from_up(up))
+    ut = _assemble_ut_fused_op(bop, wu) if fused else _assemble_ut_xla(bop, wu)
+    return BDRep(ut=ut, deg=_deg_from_ut(ut))
 
 
-def _assemble_up_xla(bop: BandedOperator, wu: jax.Array) -> jax.Array:
-    """XLA sheared accumulation (see assemble_bd docstring): materialize
-    Sh (n_pad, W) with du iota-compare passes, then slice/stack the upper
-    block diagonals."""
+def _assemble_ut_xla(bop: BandedOperator, wu: jax.Array) -> jax.Array:
+    """XLA sheared accumulation (see assemble_bd docstring), transposed
+    orientation throughout: materialize Sh^T (W, n_pad) with du
+    iota-compare passes — wu/dcol rows broadcast along sublanes with NO
+    relayout — then slice/stack the transposed upper block diagonals."""
     dtype = wu.dtype
     n_pad, half, nb = bop.n_pad, bop.half, bop.nb
     W = BS * (half + 2)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, W), 1)
-    Sh = jnp.zeros((n_pad, W), dtype)
-    for kslot in range(wu.shape[1]):
-        Sh = Sh + wu[:, kslot:kslot + 1] * (
-            cols == bop.dcol_tbl[:, kslot:kslot + 1])
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, n_pad), 0)
+    ShT = jnp.zeros((W, n_pad), dtype)
+    for kslot in range(wu.shape[0]):
+        ShT = ShT + wu[kslot:kslot + 1, :] * (
+            rows == bop.dcol_tbl[kslot:kslot + 1, :])
+    # ut[t][b][c, r] = ShT[BS*(t+1) + c, b*BS + r]
     return jnp.stack(
-        [Sh[:, BS * (t + 1): BS * (t + 2)].reshape(nb, BS, BS)
+        [ShT[BS * (t + 1): BS * (t + 2), :]
+         .reshape(BS, nb, BS).swapaxes(0, 1)
          for t in range(half + 1)], axis=0)
 
 
 @jax.custom_batching.custom_vmap
-def _assemble_up_fused_op(bop: BandedOperator, wu: jax.Array) -> jax.Array:
-    """Fused Pallas assembly of the upper block diagonals (TPU f32): each
-    node block's sheared rows live only in VMEM and the (half+1, nb, BS,
-    BS) tensor is written directly — no HBM Sh intermediate and no
-    slice/stack expansion (measured ~2 ms -> ~0.1 ms per weight update on
-    city10000)."""
-    from mac_tpu.ops.pallas.assemble_kernel import assemble_up_fused
+def _assemble_ut_fused_op(bop: BandedOperator, wu: jax.Array) -> jax.Array:
+    """Fused Pallas assembly of the transposed upper block diagonals (TPU
+    f32): each node block's sheared rows live only in VMEM and the
+    (half+1, nb, BS, BS) tensor is written directly — no HBM Sh
+    intermediate and no slice/stack expansion."""
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_ut_fused
 
-    return assemble_up_fused(bop.dcol_tbl, wu, half=bop.half, nb=bop.nb)
+    return assemble_ut_fused(bop.dcol_tbl, wu, half=bop.half, nb=bop.nb)
 
 
 def _assemble_fused_batch_rule(axis_size, in_batched, bop, wu):
     """Under vmap (budget sweeps) fall back to the XLA sheared path —
     Mosaic cannot lower Pallas kernels through vmap's loop batching (same
     constraint as the tridiag kernels in mac_tpu.ops.tridiag)."""
-    out = jax.vmap(lambda w_: _assemble_up_xla(bop, w_))(wu)
+    out = jax.vmap(lambda w_: _assemble_ut_xla(bop, w_))(wu)
     return out, True
 
 
-_assemble_up_fused_op.def_vmap(_assemble_fused_batch_rule)
+_assemble_ut_fused_op.def_vmap(_assemble_fused_batch_rule)
 
 
-def _deg_from_up(up: jax.Array) -> jax.Array:
+def _deg_from_ut(ut: jax.Array) -> jax.Array:
     """deg_i = -(row sums + column sums over the uppers); the column-sum
-    contribution of up[t] lands t blocks BELOW (lower-diagonal symmetry)."""
-    dtype = up.dtype
-    half = up.shape[0] - 1
-    nb = up.shape[1]
-    rowsum = jnp.sum(up, axis=3)          # (half+1, nb, BS)
-    colsum = jnp.sum(up, axis=2)          # (half+1, nb, BS)
+    contribution of block t lands t blocks BELOW (lower-diagonal
+    symmetry). ut[t][b][c, r] = up[t][b][r, c], so the ROW sum over the
+    upper block is axis 2 of ut and the COLUMN sum is axis 3."""
+    dtype = ut.dtype
+    half = ut.shape[0] - 1
+    nb = ut.shape[1]
+    rowsum = jnp.sum(ut, axis=2)          # (half+1, nb, BS)
+    colsum = jnp.sum(ut, axis=3)          # (half+1, nb, BS)
     deg = -rowsum[0] - colsum[0]
     for t in range(1, half + 1):
         deg = deg - rowsum[t]
@@ -390,7 +408,7 @@ def banded_apply(bop: BandedOperator, BD: "BDRep", V: jax.Array,
     n, q = V.shape
     nb, half, ndiag = bop.nb, bop.half, bop.ndiag
     n_pad = bop.n_pad
-    up, deg = BD.up, BD.deg
+    ut, deg = BD.ut, BD.deg
     if n_pad != n:
         V = jnp.concatenate(
             [V, jnp.zeros((n_pad - n, q), V.dtype)], axis=0)
@@ -413,22 +431,24 @@ def banded_apply(bop: BandedOperator, BD: "BDRep", V: jax.Array,
         win = jnp.stack([Vp[o:o + nb] for o in range(ndiag)], 0)
         cb = jnp.mean(win, axis=(0, 2))[:, None, :]
     # Diagonal degrees + strict-upper of the diagonal block (direct and
-    # transposed) + off block diagonals (direct up[t] at +t, transposed
-    # up[t] shifted down t blocks at -t).
+    # transposed) + off block diagonals (direct at +t, transposed shifted
+    # down t blocks at -t). ut holds the TRANSPOSED uppers, so the direct
+    # contraction reads "bcr,..." and the transposed one "brc,..." — the
+    # MXU contracts either operand side at equal cost.
     Vc0 = Vp[half: half + nb] - cb
     out = deg[:, :, None] * Vc0
-    out = out + jnp.einsum("brc,bcq->brq", up[0], Vc0,
+    out = out + jnp.einsum("bcr,bcq->brq", ut[0], Vc0,
                            preferred_element_type=V.dtype, precision=precision)
-    out = out + jnp.einsum("bcr,bcq->brq", up[0], Vc0,
+    out = out + jnp.einsum("brc,bcq->brq", ut[0], Vc0,
                            preferred_element_type=V.dtype, precision=precision)
     for t in range(1, half + 1):
         out = out + jnp.einsum(
-            "brc,bcq->brq", up[t], Vp[half + t: half + t + nb] - cb,
+            "bcr,bcq->brq", ut[t], Vp[half + t: half + t + nb] - cb,
             preferred_element_type=V.dtype, precision=precision)
-        upsh = jnp.concatenate(
-            [jnp.zeros((t, BS, BS), up.dtype), up[t][: nb - t]], axis=0)
+        utsh = jnp.concatenate(
+            [jnp.zeros((t, BS, BS), ut.dtype), ut[t][: nb - t]], axis=0)
         out = out + jnp.einsum(
-            "bcr,bcq->brq", upsh, Vp[half - t: half - t + nb] - cb,
+            "brc,bcq->brq", utsh, Vp[half - t: half - t + nb] - cb,
             preferred_element_type=V.dtype, precision=precision)
     return out.reshape(n_pad, q)[:n]
 
@@ -503,7 +523,7 @@ def make_banded_precond(bop: BandedOperator, BD: "BDRep", w=None,
     assert rebuild is None or prev_state is not None, (
         "rebuild cadence requires a carried PrecondState (prev_state); "
         "without it every step silently cold-builds")
-    dtype = BD.up.dtype
+    dtype = BD.ut.dtype
     nb, half, s, nc = bop.nb, bop.half, bop.coarse_s, bop.coarse_nc
     n, n_pad = bop.n, bop.n_pad
     eps = jnp.finfo(dtype).eps
@@ -566,7 +586,7 @@ def make_banded_precond(bop: BandedOperator, BD: "BDRep", w=None,
     else:
         # --- block-Jacobi: batched Cholesky inverses of the diagonal blocks.
         eyeD = jnp.eye(BS, dtype=dtype)
-        Dblk = (BD.up[0] + jnp.swapaxes(BD.up[0], 1, 2)
+        Dblk = (BD.ut[0] + jnp.swapaxes(BD.ut[0], 1, 2)
                 + BD.deg[:, :, None] * eyeD[None])
         reg = 100 * eps * jnp.max(jnp.abs(Dblk))
         Dreg = Dblk + reg * jnp.eye(BS, dtype=dtype)[None]

@@ -10,17 +10,24 @@ writes the (half+1, nb, BS, BS) upper-diagonal tensor directly: HBM
 traffic drops from ~du reads+writes of Sh to one write of `up` plus the
 tiny weight/column tables.
 
-Layout per grid step b (one 128-node block):
-    wu_ref   (BS, du_pad) f32   — gathered -w per upper-neighbor slot
-    dcol_ref (BS, du_pad) int32 — static sheared target column per slot,
-                                  BS + (j - i) + (i % BS); 0 for padding
-                                  (never matches: real columns are > BS)
-    up_ref   (half+1, 1, BS, BS) — up[t][b][r][c] = L[bBS+r, (b+t)BS+c]
+Layout per grid step b (one 128-node block), TRANSPOSED orientation
+(nodes on the LANE axis — round 4: the row-major (BS, du) layout forced
+a pad of du to 128 lanes, 16x wasted gather output + VMEM traffic,
+577+ us/FW-step on city10000):
+    wu_ref   (du_pad8, BS) f32   — gathered -w per upper-neighbor slot
+    dcol_ref (du_pad8, BS) int32 — static sheared target column per slot,
+                                   BS + (j - i) + (i % BS); 0 for padding
+                                   (never matches: real columns are > BS)
+    ut_ref   (half+1, 1, BS, BS) — ut[t][b][c][r] = L[bBS+r, (b+t)BS+c]
+                                   (the TRANSPOSED upper block diagonals
+                                   consumed by mac_tpu.ops.banded)
 
 The du compare-accumulate passes are statically unrolled over a
-(BS, W = BS*(half+2)) scratch — du is the max upper degree (~10-25 on
+(W = BS*(half+2), BS) scratch — du is the max upper degree (~10-25 on
 pose graphs) and half+1 is 2-4 block diagonals, well under the unroll
 budget that crashes the remote Mosaic compiler (observed at 64+ ops).
+Each pass broadcasts a (1, BS) slot row along sublanes: no in-kernel
+transposes or reshapes (both unsupported/wrong on Mosaic).
 
 Reference role: this is the weight-update step of the L(x) rebuild the
 reference performs with scipy COO assembly every FW iteration
@@ -39,33 +46,36 @@ from jax.experimental.pallas import tpu as pltpu
 BS = 128  # node-block size (must match mac_tpu.ops.banded.BS)
 
 
-def _assemble_kernel(dcol_ref, wu_ref, up_ref, *, du: int, half: int):
+def _assemble_kernel(dcol_ref, wu_ref, ut_ref, *, du: int, half: int):
     W = BS * (half + 2)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BS, W), 1)
-    sh = jnp.zeros((BS, W), wu_ref.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, BS), 0)
+    sht = jnp.zeros((W, BS), wu_ref.dtype)
     for k in range(du):
-        w_k = wu_ref[:, k:k + 1]        # (BS, 1)
-        c_k = dcol_ref[:, k:k + 1]      # (BS, 1)
-        sh = sh + w_k * (c_k == cols)
+        w_k = wu_ref[k:k + 1, :]        # (1, BS)
+        c_k = dcol_ref[k:k + 1, :]      # (1, BS)
+        sht = sht + w_k * (c_k == rows)
     for t in range(half + 1):
-        up_ref[t, 0] = sh[:, BS * (t + 1): BS * (t + 2)]
+        ut_ref[t, 0] = sht[BS * (t + 1): BS * (t + 2), :]
 
 
 @functools.partial(jax.jit, static_argnames=("half", "nb", "interpret"))
-def assemble_up_fused(dcol_tbl: jax.Array, wu: jax.Array, *, half: int,
+def assemble_ut_fused(dcol_tbl: jax.Array, wu: jax.Array, *, half: int,
                       nb: int, interpret: bool = False) -> jax.Array:
-    """The upper block diagonals of L(w): (half+1, nb, BS, BS).
+    """The TRANSPOSED upper block diagonals of L(w): (half+1, nb, BS, BS)
+    with ut[t][b] = L[block b, block b+t]^T.
 
-    dcol_tbl, wu: (n_pad, du) as produced by build_banded / the weight
+    dcol_tbl, wu: (du, n_pad) as produced by build_banded / the weight
     gather in assemble_bd. Exact same accumulation semantics as the XLA
-    sheared path (duplicate edges occupy separate slots and sum).
+    sheared path (duplicate edges occupy separate slots and sum). Slot
+    rows need only be padded to a sublane multiple (8), not to 128 lanes
+    — the win over the row-major variant this replaced.
     """
-    n_pad, du = wu.shape
+    du, n_pad = wu.shape
     assert n_pad == nb * BS
-    du_pad = -(-du // BS) * BS
+    du_pad = -(-du // 8) * 8
     if du_pad != du:
-        wu = jnp.pad(wu, ((0, 0), (0, du_pad - du)))
-        dcol_tbl = jnp.pad(dcol_tbl, ((0, 0), (0, du_pad - du)))
+        wu = jnp.pad(wu, ((0, du_pad - du), (0, 0)))
+        dcol_tbl = jnp.pad(dcol_tbl, ((0, du_pad - du), (0, 0)))
     # Index-map literals MUST be int32: x64 is enabled at import, so a
     # bare Python 0 traces as i64 and Mosaic fails to legalize the index
     # map's func.return (measured on the real TPU: "failed to legalize
@@ -76,9 +86,9 @@ def assemble_up_fused(dcol_tbl: jax.Array, wu: jax.Array, *, half: int,
         grid=(nb,),
         out_shape=jax.ShapeDtypeStruct((half + 1, nb, BS, BS), wu.dtype),
         in_specs=[
-            pl.BlockSpec((BS, du_pad), lambda b: (b, z),
+            pl.BlockSpec((du_pad, BS), lambda b: (z, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BS, du_pad), lambda b: (b, z),
+            pl.BlockSpec((du_pad, BS), lambda b: (z, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((half + 1, 1, BS, BS),

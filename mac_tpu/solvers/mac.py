@@ -1216,8 +1216,16 @@ class MAC:
             lambda kk: round_madow_base(x_relaxed_dev, k, kk))(keys),
             np.float64)
         best_lu = None
+        Xw = best_X
         for rt in xs:
-            ft, Xt, lut = exact_eval_full(rt, best_X)
+            ft, Xt, lut = exact_eval_full(rt, Xw)
+            if lut is not None:
+                # Warm-start the NEXT sample's solve from this one's block
+                # even when it loses: samples are near-identical selections
+                # (same relaxed iterate), and the first de-collapsed basis
+                # cuts the later solves from ~30 TRACEMIN iterations to a
+                # handful — the collapsed input basis is useless to them.
+                Xw = Xt
             if ft > best_f:
                 best_r, best_f, best_X = rt, ft, Xt
                 best_lu = lut

@@ -162,7 +162,7 @@ def fiedler_pair_op(
             # XLA partitions the batched-matmul apply across devices.
             up_s, deg_s = banded_shardings
             BD = BD._replace(
-                up=jax.lax.with_sharding_constraint(BD.up, up_s),
+                ut=jax.lax.with_sharding_constraint(BD.ut, up_s),
                 deg=jax.lax.with_sharding_constraint(BD.deg, deg_s))
         apply_L = lambda V: _banded.banded_apply(banded, BD, V)
     elif op.mode == "dense":

@@ -64,7 +64,9 @@ def test_assemble_matches_dense_blocks():
     bop = build_banded(ridx, n, dtype=jnp.float64)
     assert bop is not None
     rep = assemble_bd(bop, jnp.asarray(w, jnp.float64))
-    up = np.asarray(rep.up)
+    # BDRep stores the uppers TRANSPOSED (ut[t][b] = up-block^T); undo it
+    # here so the expectations below stay in natural L-block orientation.
+    up = np.swapaxes(np.asarray(rep.ut), -1, -2)
     deg = np.asarray(rep.deg)
     L = weight_graph_lap_from_edges(ridx, w, n).toarray()
     Lp = np.zeros((bop.n_pad, bop.n_pad))
@@ -122,8 +124,8 @@ def test_assemble_fused_kernel_matches_xla():
     """The Pallas assembly kernel (interpret mode on CPU) must reproduce
     the XLA sheared path bit-for-bit — both are sums of disjoint slot
     contributions in slot order."""
-    from mac_tpu.ops.banded import _assemble_up_xla
-    from mac_tpu.ops.pallas.assemble_kernel import assemble_up_fused
+    from mac_tpu.ops.banded import _assemble_ut_xla
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_ut_fused
 
     idx, w, n = _pose_graph(n=700, n_loops=260)
     perm, inv, bw = rcm_order(idx, n)
@@ -132,8 +134,8 @@ def test_assemble_fused_kernel_matches_xla():
     w32 = jnp.asarray(w, jnp.float32)
     w_pad = jnp.concatenate([-w32, jnp.zeros((1,), jnp.float32)])
     wu = w_pad[bop.ueid_tbl]
-    ref = np.asarray(_assemble_up_xla(bop, wu))
-    got = np.asarray(assemble_up_fused(bop.dcol_tbl, wu, half=bop.half,
+    ref = np.asarray(_assemble_ut_xla(bop, wu))
+    got = np.asarray(assemble_ut_fused(bop.dcol_tbl, wu, half=bop.half,
                                        nb=bop.nb, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
@@ -148,8 +150,8 @@ def test_assemble_fused_kernel_matches_xla_shapes(n, n_loops, span):
     """Parity across unroll regimes: different half (tile-write count)
     and du (compare-accumulate pass count) configurations must all
     reproduce the XLA sheared assembly bit-for-bit."""
-    from mac_tpu.ops.banded import _assemble_up_xla
-    from mac_tpu.ops.pallas.assemble_kernel import assemble_up_fused
+    from mac_tpu.ops.banded import _assemble_ut_xla
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_ut_fused
 
     idx, w, n = _pose_graph(n=n, n_loops=n_loops, span=span, seed=11)
     perm, inv, bw = rcm_order(idx, n)
@@ -158,8 +160,8 @@ def test_assemble_fused_kernel_matches_xla_shapes(n, n_loops, span):
     w32 = jnp.asarray(w, jnp.float32)
     w_pad = jnp.concatenate([-w32, jnp.zeros((1,), jnp.float32)])
     wu = w_pad[bop.ueid_tbl]
-    ref = np.asarray(_assemble_up_xla(bop, wu))
-    got = np.asarray(assemble_up_fused(bop.dcol_tbl, wu, half=bop.half,
+    ref = np.asarray(_assemble_ut_xla(bop, wu))
+    got = np.asarray(assemble_ut_fused(bop.dcol_tbl, wu, half=bop.half,
                                        nb=bop.nb, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
@@ -168,7 +170,7 @@ def test_assemble_fused_kernel_matches_xla_shapes(n, n_loops, span):
 def test_assemble_fused_vmap_falls_back_to_xla():
     """vmapping the fused assembly op (budget sweeps) must route through
     the XLA batch rule and match per-lane XLA assembly."""
-    from mac_tpu.ops.banded import _assemble_up_fused_op, _assemble_up_xla
+    from mac_tpu.ops.banded import _assemble_ut_fused_op, _assemble_ut_xla
 
     idx, w, n = _pose_graph(n=700, n_loops=120)
     perm, inv, bw = rcm_order(idx, n)
@@ -178,8 +180,8 @@ def test_assemble_fused_vmap_falls_back_to_xla():
     ws = jnp.asarray(0.5 + rng.rand(3, len(w)), jnp.float32)
     w_pad = jnp.concatenate([-ws, jnp.zeros((3, 1), jnp.float32)], axis=1)
     wus = w_pad[:, bop.ueid_tbl]
-    got = jax.vmap(lambda wu: _assemble_up_fused_op(bop, wu))(wus)
-    ref = jnp.stack([_assemble_up_xla(bop, wus[i]) for i in range(3)])
+    got = jax.vmap(lambda wu: _assemble_ut_fused_op(bop, wu))(wus)
+    ref = jnp.stack([_assemble_ut_xla(bop, wus[i]) for i in range(3)])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
