@@ -132,23 +132,38 @@ def tridiag_solve_fused_blocked(dp: jax.Array, l: jax.Array, B: jax.Array,
         [B, jnp.zeros((n_pad - n, q), dtype)], axis=0)
     b_b = b_p.T.reshape(q * nbl, block)
 
+    # Row tiling: each (segment, rhs-column) row is independent, so grid
+    # the kernel over ROWTILE-row chunks — VMEM per step is 4 buffers x
+    # ROWTILE x block x 4 B = 4 MB, INDEPENDENT of n and q. Without the
+    # grid the whole (q*nbl, block) stack must fit VMEM, which capped
+    # engagement at n ~ 1e5 (q=4: 18.4 MB > the ~12 MB budget) and left
+    # large-n chain-preconditioner solves on the ~30-stage scan path
+    # (measured 55.7 ms/solve at n=3e5 on TPU, round 4).
     rows = q * nbl
-    rows_pad = -(-rows // 8) * 8
+    ROWTILE = 256
+    unit = ROWTILE if rows > ROWTILE else 8
+    rows_pad = -(-rows // unit) * unit
     if rows_pad != rows:
         z = jnp.zeros((rows_pad - rows, block), dtype)
         dp_b = jnp.concatenate([dp_b, jnp.ones_like(z)], axis=0)
         l_b = jnp.concatenate([l_b, z], axis=0)
         b_b = jnp.concatenate([b_b, z], axis=0)
 
+    zi = np.int32(0)  # index-map literals must be int32 under x64
     out = pl.pallas_call(
         functools.partial(_tridiag_kernel, n_pad=block),
+        grid=(rows_pad // unit,),
         out_shape=jax.ShapeDtypeStruct((rows_pad, block), dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((unit, block), lambda r: (r, zi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unit, block), lambda r: (r, zi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unit, block), lambda r: (r, zi),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((unit, block), lambda r: (r, zi),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(dp_b, l_b, b_b)
     return out[:rows].reshape(q, n_pad)[:, :n].T

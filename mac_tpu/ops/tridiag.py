@@ -246,10 +246,15 @@ def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
         # at factorization time divides 1024) — an exact factor must never
         # be routed through the decoupling kernel, which would silently
         # zero its couplings (ADVICE r2 #3).
+        # VMEM is n-independent since the kernel grids over 256-row
+        # chunks (tridiag_solve_fused_blocked), so the only requirement
+        # is a factor already segment-decoupled at 1024 boundaries. (The
+        # old whole-stack-in-VMEM 12 MB bound silently disabled the
+        # kernel for every n >= ~1e5, leaving the chain preconditioner on
+        # the ~30-stage scan path: 55.7 ms/solve at n=3e5, TPU-measured.)
         if (
             f.seg is not None
             and 1024 % int(f.seg) == 0
-            and (-(-q // 8) * 8) * (-(-n // 1024) * 1024) * 4 * 6 <= 12 * 2**20
         ):
             return _fused_solve_blocked(
                 f.dp.astype(B.dtype), f.l.astype(B.dtype), B)

@@ -57,11 +57,38 @@ def make_twogrid_precond(
 
     # Coarse operator: Lc = sum_e w_e (p_i - p_j)(p_i - p_j)^T over coarse
     # endpoints; edges interior to an aggregate vanish (p_i == p_j).
+    # Assembled as Ec^T diag(w) Ec via a lax.scan of chunked one-hot MXU
+    # matmuls, NOT a scatter-add: TPU scatters run ~0.33 us/element, so
+    # the previous 4m-element .at[].add cost ~0.6 s PER preconditioner
+    # build at n=3e5 (m=4.5e5) — rebuilt every FW step. The chunked
+    # incidence is built by iota-compare (no gather/scatter at all) and
+    # each (nc, CH) @ (CH, nc) product runs on the MXU; f32 HIGHEST
+    # accumulation, escalated to f64 only for the factorization.
     ci, cj = op.coarse_idx[:, 0], op.coarse_idx[:, 1]
-    rows = jnp.concatenate([ci, cj, ci, cj])
-    cols = jnp.concatenate([cj, ci, ci, cj])
-    vals = jnp.concatenate([-w, -w, w, w]).astype(jnp.float64)
-    Lc = jnp.zeros((nc, nc), dtype=jnp.float64).at[rows, cols].add(vals)
+    m = w.shape[0]
+    CH = 4096
+    mp = -(-m // CH) * CH
+    # Pad with an out-of-range aggregate id (nc): its one-hot row is all
+    # zero, so padded edges contribute nothing.
+    ci_p = jnp.concatenate([ci, jnp.full((mp - m,), nc, jnp.int32)])
+    cj_p = jnp.concatenate([cj, jnp.full((mp - m,), nc, jnp.int32)])
+    w_p = jnp.concatenate([w, jnp.zeros((mp - m,), w.dtype)]).astype(
+        jnp.float32)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, nc), 1)
+
+    def _chunk(Lc32, args):
+        ci_c, cj_c, w_c = args
+        E = ((cols_iota == ci_c[:, None]).astype(jnp.float32)
+             - (cols_iota == cj_c[:, None]).astype(jnp.float32))
+        Lc32 = Lc32 + jnp.matmul(
+            E.T * w_c[None, :], E,
+            precision=jax.lax.Precision.HIGHEST)
+        return Lc32, None
+
+    Lc32, _ = jax.lax.scan(
+        _chunk, jnp.zeros((nc, nc), jnp.float32),
+        (ci_p.reshape(-1, CH), cj_p.reshape(-1, CH), w_p.reshape(-1, CH)))
+    Lc = Lc32.astype(jnp.float64)
     # Rank-one constant-mode shift makes Lc SPD (same trick as the
     # eigensolver); inverse computed once, in float64, applied in dtype.
     cshift = 2.0 * jnp.max(jnp.diag(Lc)) + 1.0

@@ -27,6 +27,18 @@ def naive_stepsize(k) -> jax.Array:
     return 2.0 / (k + 2.0)
 
 
+def fw_initial_carry(initial, state0, averaging: bool):
+    """The frank_wolfe_with_state loop carry at step 0 — exposed so a
+    host-chunked caller can construct it in a tiny init program and then
+    resume via carry0 without ever compiling the carry0=None variant."""
+    x0 = jnp.asarray(initial)
+    inf = jnp.asarray(jnp.inf, x0.dtype)
+    it0 = jnp.asarray(0, jnp.int32)
+    zero = jnp.asarray(0, jnp.int32)
+    xavg0 = jnp.zeros_like(x0) if averaging else x0
+    return (x0, inf, state0, it0, jnp.asarray(False), xavg0, zero)
+
+
 def frank_wolfe_with_state(
     initial: jax.Array,
     state0,
@@ -38,6 +50,8 @@ def frank_wolfe_with_state(
     grad_norm_tol: float = 1e-10,
     verbose: bool = False,
     tail_average_from: Optional[int] = None,
+    carry0=None,
+    return_carry: bool = False,
 ):
     """Maximize a concave f via Frank-Wolfe, threading auxiliary state.
 
@@ -55,7 +69,18 @@ def frank_wolfe_with_state(
         deterministically, with no extra objective evaluations. The mean
         of points in a convex feasible set stays feasible.
 
-    Returns (x, u, state, num_iters) with u the dual upper bound.
+    carry0 / return_carry: resume protocol for HOST-CHUNKED execution
+        (one bounded device program per chunk instead of one while_loop
+        over the full budget — the axon TPU runtime kills executions past
+        ~5 minutes, observed as a worker "kernel fault" on n >= 3e5
+        solves). Pass return_carry=True to get the raw loop carry back,
+        feed it as carry0 with a larger (traceable) maxiter to continue;
+        the step index, dual bound, stop flag, and Cesaro accumulator all
+        live in the carry, so chunked execution is bit-identical to the
+        single-program loop. The final call unpacks as usual.
+
+    Returns (x, u, state, num_iters) with u the dual upper bound, or the
+    raw carry when return_carry=True.
     """
     if stepsize is None:
         stepsize = lambda x, g, s, k: naive_stepsize(k)
@@ -107,12 +132,12 @@ def frank_wolfe_with_state(
             cnt_new, xavg_new = cnt, xavg
         return (x_new, u_new, state_new, it + 1, stop, xavg_new, cnt_new)
 
-    it0 = jnp.asarray(0, jnp.int32)
-    zero = jnp.asarray(0, jnp.int32)
-    xavg0 = jnp.zeros_like(x0) if averaging else x0
-    x, u, state, it, done, xavg, cnt = jax.lax.while_loop(
-        cond, body, (x0, inf, state0, it0, jnp.asarray(False), xavg0, zero)
-    )
+    if carry0 is None:
+        carry0 = fw_initial_carry(x0, state0, averaging)
+    carry = jax.lax.while_loop(cond, body, carry0)
+    if return_carry:
+        return carry
+    x, u, state, it, done, xavg, cnt = carry
     if averaging:
         x = jnp.where(cnt > 0, xavg, x)
     return x, u, state, it

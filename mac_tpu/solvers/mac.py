@@ -44,6 +44,7 @@ from mac_tpu.utils.rounding import (
     round_madow_base_dynamic,
     round_nearest,
     round_nearest_dynamic,
+    round_nearest_np,
 )
 
 
@@ -423,6 +424,7 @@ class MAC:
         mesh_apply=None,
         precond_refresh_period=None,
         fw_polish=None,
+        fw_dispatch_chunk=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'graph' axis — shards
         the Laplacian product row-blocks across devices
@@ -573,6 +575,12 @@ class MAC:
         self.precond_refresh_period = (
             1 if precond_refresh_period is None else
             int(precond_refresh_period))
+        # FW steps per device dispatch: None = automatic (big matrix-free
+        # instances chunk to 1 step/program — see solve's _run_fw_chunked;
+        # everything else runs the single fused program). 0 disables
+        # chunking outright; an int forces that chunk size.
+        self.fw_dispatch_chunk = (
+            None if fw_dispatch_chunk is None else int(fw_dispatch_chunk))
 
         with self._device_ctx():
             self._finish_init(fixed_idx, w_fixed, cand_idx, w_cand, n,
@@ -823,7 +831,8 @@ class MAC:
             self._fw_impl,
             static_argnames=("k", "maxiter", "use_cache", "verbose",
                              "fuse_nearest_rounding", "schedule",
-                             "inner_schedule", "tail_average"),
+                             "inner_schedule", "tail_average",
+                             "return_fw_carry", "init_carry_only"),
         )
 
     # ------------------------------------------------------------------ core
@@ -1300,6 +1309,10 @@ class MAC:
         schedule=None,
         inner_schedule=None,
         tail_average: bool = False,
+        fw_carry0=None,
+        maxiter_traced=None,
+        return_fw_carry: bool = False,
+        init_carry_only: bool = False,
     ):
         # Auxiliary FW state: (eigenvector block, Ritz values, cumulative
         # Fiedler iterations, FW step index, preconditioner state) — the
@@ -1330,6 +1343,15 @@ class MAC:
                 chain_l=jnp.zeros((banded.n,), self.dtype))
         else:
             pstate0 = None
+
+        if init_carry_only:
+            # Host-chunked execution (see solve): the tiny init program
+            # that builds the loop carry without running any FW step.
+            from mac_tpu.optimization.frankwolfe import fw_initial_carry
+
+            state0 = (X0, jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0, jnp.int32), pstate0)
+            return fw_initial_carry(x0, state0, tail_average)
 
         def problem(x, state):
             X, fiters, step, pstate = state
@@ -1379,18 +1401,23 @@ class MAC:
             solve_lp = lambda g: sharded_top_k_indicator(self.mesh, g, k)
         else:
             solve_lp = lambda g: constraints.solve_subset_box_lp(g, k)
-        x, u, (X, fiters, _, _), it = frank_wolfe_with_state(
+        res = frank_wolfe_with_state(
             x0,
             (X0, jnp.asarray(0, jnp.int32),
              jnp.asarray(0, jnp.int32), pstate0),
             problem,
             solve_lp,
-            maxiter=maxiter,
+            maxiter=maxiter if maxiter_traced is None else maxiter_traced,
             relative_duality_gap_tol=relative_duality_gap_tol,
             grad_norm_tol=grad_norm_tol,
             verbose=verbose,
             tail_average_from=(maxiter // 2 if tail_average else None),
+            carry0=fw_carry0,
+            return_carry=return_fw_carry,
         )
+        if return_fw_carry:
+            return res
+        x, u, (X, fiters, _, _), it = res
         # In-graph nearest rounding: every separately dispatched program
         # pays ~26 ms of tunnel latency, so the default rounding runs in
         # the same compiled program as the solve.
@@ -1502,9 +1529,8 @@ class MAC:
                 vals = [self.evaluate_objective(xx) for xx in xs]
                 rounded = xs[int(np.argmax(vals))]
         else:
-            rounded = np.asarray(round_nearest(
-                jnp.asarray(x), k, weights=jnp.asarray(w_cand),
-                break_ties_decimal_tol=10))
+            rounded = round_nearest_np(x, k, weights=w_cand,
+                                       break_ties_decimal_tol=10)
         rounding_time = timer() - start
         return rounded, x, float(u), rounding_time
 
@@ -1717,9 +1743,63 @@ class MAC:
                 tail_average=tail_avg,
             )
 
+        def _run_fw_chunked(chunk):
+            """One bounded device program per `chunk` FW steps. The axon
+            TPU runtime kills single executions past ~5 minutes (observed
+            as a worker 'kernel fault' on n >= 3e5 ELL solves whose full
+            while_loop program ran 300+ s); the loop carry round-trips
+            device-side between dispatches (~26 ms each), so the result
+            is bit-identical to the single-program loop."""
+            common = dict(
+                k=k,
+                maxiter=int(max_iters),
+                relative_duality_gap_tol=jnp.asarray(
+                    relative_duality_gap_tol, self.dtype),
+                grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
+                use_cache=bool(use_cache),
+                verbose=bool(verbose),
+                fuse_nearest_rounding=fuse_nearest,
+                schedule=schedule,
+                inner_schedule=self._warm_inner_schedule,
+                tail_average=tail_avg,
+            )
+            carry = self._fw_jit(self._params, x_init, self._X0,
+                                 init_carry_only=True, **common)
+            end = 0
+            while end < int(max_iters):
+                end = min(end + int(chunk), int(max_iters))
+                carry = self._fw_jit(
+                    self._params, x_init, self._X0, fw_carry0=carry,
+                    maxiter_traced=jnp.asarray(end, jnp.int32),
+                    return_fw_carry=True, **common)
+                done = bool(jax.device_get(carry[4]))
+                if done:
+                    break
+            # Finalize (tail-average unpack + fused rounding) in a tiny
+            # program: maxiter 0 <= it skips the loop body entirely.
+            return self._fw_jit(
+                self._params, x_init, self._X0, fw_carry0=carry,
+                maxiter_traced=jnp.asarray(0, jnp.int32), **common)
+
+        # Big matrix-free (ELL) instances: chunk the dispatch (see
+        # _run_fw_chunked). Banded/small instances keep the single
+        # fused program (total execution is far below the limit and the
+        # per-dispatch tunnel latency would dominate).
+        chunk_steps = self.fw_dispatch_chunk
+        if chunk_steps is None and (
+                self._banded is None
+                and self.op.mode == "ell"
+                and self.mesh is None
+                and self.num_nodes >= 200_000
+                and jax.default_backend() == "tpu"):
+            chunk_steps = 1
+
         from mac_tpu.ops import banded as _banded_mod
 
-        if fast32 and self.mesh is None and _banded_mod.FUSED_ASSEMBLY_ENABLED:
+        if chunk_steps:
+            x_dev, u, X_dev, it, fiters, rounded_dev = _run_fw_chunked(
+                chunk_steps)
+        elif fast32 and self.mesh is None and _banded_mod.FUSED_ASSEMBLY_ENABLED:
             # The fused Pallas assembly kernel's Mosaic compile is
             # shape-regime dependent (see FUSED_ASSEMBLY_ENABLED): if the
             # first jitted execution fails IN THE KERNEL, fall back to the
@@ -1888,13 +1968,15 @@ class MAC:
 
     def _fw_dynamic_impl(self, params, x0, X0, k, *, maxiter,
                          relative_duality_gap_tol, grad_norm_tol,
-                         rounding: str, seed_key):
+                         rounding: str, seed_key, schedule=None,
+                         tail_average_from=None):
         """One dynamic-k solve (k traced): used under vmap by solve_sweep.
 
         The warm-step eigensolver cap matters doubly here: under vmap the
         eigensolver while_loop runs to the SLOWEST lane, so one stalled
         lane without the cap costs every lane the full outer budget."""
-        schedule = self._warm_schedule
+        if schedule is None:
+            schedule = self._warm_schedule
         inner_schedule = self._warm_inner_schedule
 
         def problem(x, state):
@@ -1915,6 +1997,7 @@ class MAC:
             maxiter=maxiter,
             relative_duality_gap_tol=relative_duality_gap_tol,
             grad_norm_tol=grad_norm_tol,
+            tail_average_from=tail_average_from,
         )
         if rounding == "madow":
             rounded = round_madow_base_dynamic(x, k, seed_key)
@@ -1934,8 +2017,8 @@ class MAC:
         ks,
         x_init=None,
         rounding: str = "nearest",
-        max_iters: int = 5,
-        relative_duality_gap_tol: float = 1e-4,
+        max_iters: Optional[int] = None,
+        relative_duality_gap_tol: Optional[float] = None,
         grad_norm_tol: float = 1e-8,
         seed: int = 0,
     ):
@@ -1963,6 +2046,27 @@ class MAC:
         win is lane parallelism across budgets/devices, not single-lane
         latency.
         """
+        # Resolve the same automatic iteration policy as solve(): the
+        # sweep's old static default (5 full-budget steps) left every
+        # lane's quality well below the serial per-budget solves (round-4
+        # TPU sweep on city10000: lam2 0.0439 vs 0.0511 at k=10%).
+        fast32 = self._banded is not None and self.dtype == jnp.float32
+        schedule = None
+        tail_from = None
+        if max_iters is None:
+            if fast32:
+                max_iters = 32
+                if not self._warm_maxiter_user_set:
+                    schedule = ((1, 4), (4, 2), (10, 1))
+                if relative_duality_gap_tol is None:
+                    relative_duality_gap_tol = 0.0
+                if self.fw_tail_average:
+                    tail_from = max_iters // 2
+            else:
+                max_iters = 5
+        if relative_duality_gap_tol is None:
+            relative_duality_gap_tol = 1e-4
+
         ks = np.asarray(ks, dtype=np.int64)
         m = len(self.weights)
         R = len(ks)
@@ -1990,6 +2094,8 @@ class MAC:
             relative_duality_gap_tol=jnp.asarray(relative_duality_gap_tol, self.dtype),
             grad_norm_tol=jnp.asarray(grad_norm_tol, self.dtype),
             rounding=rounding,
+            schedule=schedule,
+            tail_average_from=tail_from,
         )
         batched = jax.jit(
             jax.vmap(

@@ -97,6 +97,74 @@ def main():
         mark(f"stage c OK ({(time.perf_counter() - t0) * 1e3:.1f} ms, "
              f"lam={np.asarray(lam)})")
 
+    if "p" in stages:
+        # Per-outer parts at ELL scale (fori_loop reps, floor-subtracted).
+        import time as _t
+        from mac_tpu.ops import twogrid as TG
+        from mac_tpu.ops.cg import pcg_fixed
+        from mac_tpu.ops import lobpcg as LO
+        from mac_tpu.ops.laplacian import lap_inf_norm
+
+        FLOOR = [0.0]
+
+        def timeit(name, fn, x, reps=30):
+            @jax.jit
+            def loop(x):
+                def body(i, x):
+                    out = fn(x)
+                    leaves = jax.tree_util.tree_leaves(out)
+                    for lv in leaves:
+                        if (hasattr(lv, "shape") and lv.shape == x.shape
+                                and lv.dtype == x.dtype):
+                            return lv * 0.999 + x * 0.001
+                    return x * 0.999 + 0.001 * jnp.mean(
+                        leaves[0].astype(x.dtype))
+                return jax.lax.fori_loop(0, reps, body, x)
+
+            jax.block_until_ready(loop(x))
+            best = 1e9
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                jax.block_until_ready(loop(x))
+                best = min(best, (_t.perf_counter() - t0) / reps)
+            print(f"  {name}: {max(best - FLOOR[0], 0.0) * 1e3:.2f} ms/op "
+                  f"(raw {best * 1e3:.2f})", flush=True)
+            return best
+
+        mark("stage p: per-outer parts at ELL scale ...")
+        lnorm = jax.jit(lambda w_: lap_inf_norm(mac.op, w_))(w_all)
+        cshift = jnp.asarray(lnorm, dt)
+
+        def apply_shifted(Vv):
+            return lap_apply(mac.op, w_all, Vv) + LO._shift_term(Vv, cshift)
+
+        Minv = TG.make_twogrid_precond(mac.op, w_all, lambda Vv: lap_apply(
+            mac.op, w_all, Vv))
+        V12 = jnp.asarray(np.random.RandomState(3).normal(
+            size=(n, 12)), dt)
+        FLOOR[0] = timeit("identity floor", lambda x: x * 1.0001, V, reps=60)
+        timeit("precond BUILD+apply", lambda Vv: TG.make_twogrid_precond(
+            mac.op, w_all, lambda u: lap_apply(mac.op, w_all, u))(Vv), V,
+            reps=10)
+        timeit("Minv V-cycle q4", Minv, V)
+        timeit("apply_shifted q4", apply_shifted, V)
+        timeit("apply_shifted q12", apply_shifted, V12)
+        timeit("pcg10 q4", lambda Vv: pcg_fixed(
+            apply_shifted, Vv, Minv, iters=10), V, reps=10)
+        timeit("project q4", lambda Vv: Vv - jnp.mean(
+            Vv.astype(jnp.float64), axis=0, keepdims=True).astype(dt), V)
+        timeit("CGS2 ortho q4-vs-q4", lambda Vv: LO._colnorm(
+            LO._ortho_against(V12[:, :4], Vv)), V)
+        timeit("orth(S 12) f64 coeff", lambda Vv: LO._orth(
+            Vv, jnp.float64), V12, reps=10)
+        timeit("gram q12 f64", lambda Vv: LO._gram(
+            Vv, Vv, jnp.float64), V12, reps=10)
+        timeit("orth(S 12) f32 coeff", lambda Vv: LO._orth(
+            Vv, jnp.float32), V12, reps=10)
+        timeit("gram q12 f32", lambda Vv: LO._gram(
+            Vv, Vv, jnp.float32), V12, reps=10)
+        mark("stage p OK")
+
     if "d" in stages:
         mark("stage d: MAC.solve max_iters=1 ...")
         t0 = time.perf_counter()

@@ -168,3 +168,27 @@ def test_tridiag_factor_segment_metadata():
         got = td.tridiag_solve_factored_fast(f, B)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_blocked_fused_kernel_gridded_rows():
+    """rows = q * nbl > the 256-row tile: the row-gridded kernel path
+    (VMEM-bounded for any n — the round-4 fix that re-enables the fused
+    chain solve at n >= 1e5) must still match the scan solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mac_tpu.ops.tridiag import tridiag_ldl_blocked, tridiag_solve_factored
+    from mac_tpu.ops.pallas.tridiag_kernel import tridiag_solve_fused_blocked
+
+    rng = np.random.RandomState(7)
+    n = 40000  # nbl=40, q=8 -> 320 rows > ROWTILE=256 -> grid of 2
+    e = -(0.5 + rng.rand(n - 1))
+    d = 0.1 + rng.rand(n) - np.concatenate([[0], e]) - np.concatenate([e, [0]])
+    f = tridiag_ldl_blocked(jnp.asarray(d, jnp.float32),
+                            jnp.asarray(e, jnp.float32), block=1024)
+    B = jnp.asarray(rng.normal(size=(n, 8)), jnp.float32)
+    ref = tridiag_solve_factored(f, B)
+    got = tridiag_solve_fused_blocked(
+        f.dp.astype(jnp.float32), f.l.astype(jnp.float32), B,
+        block=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

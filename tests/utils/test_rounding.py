@@ -91,3 +91,26 @@ def test_dynamic_variants_match_static():
         dyn_m = np.asarray(round_madow_base_dynamic(wk, jnp.asarray(k), key))
         np.testing.assert_allclose(stat_m, dyn_m)
         assert dyn_m.sum() == k
+
+
+def test_round_nearest_np_matches_jax():
+    """The host engine's pure-numpy round_nearest must reproduce the
+    device version exactly, including the decimal truncation + original
+    -weight tie-break (ties are engineered below via duplicated values)."""
+    from mac_tpu.utils.rounding import round_nearest_np
+
+    rng = np.random.RandomState(11)
+    w = np.round(rng.rand(40), 2)  # duplicates -> real ties at tol 10
+    w[5] = w[17]
+    weights = rng.rand(40)
+    for k in [0, 1, 9, 20, 40, 45]:
+        jx = np.asarray(round_nearest(w, k, weights=weights,
+                                      break_ties_decimal_tol=10))
+        npv = round_nearest_np(w, k, weights=weights,
+                               break_ties_decimal_tol=10)
+        np.testing.assert_allclose(jx, npv)
+        plain_j = np.asarray(round_nearest(w, k))
+        plain_n = round_nearest_np(w, k)
+        assert plain_n.sum() == plain_j.sum()
+        if 0 < k < 40:
+            assert plain_n.sum() == k
