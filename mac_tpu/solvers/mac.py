@@ -83,6 +83,20 @@ def _graph_is_connected(idx: np.ndarray, n: int) -> bool:
 # is measured safe, see precond_refresh_period.)
 HOST_LU_REFRESH = 1
 
+# Stale-factor-preconditioned block CG for the host path's warm steps
+# (ops.host_tracemin.block_pcg): unlike the stale-inverse-iteration
+# cadence above this is CORRECT (the operator stays exact; only the
+# solve is iterative) — but it is measured SLOW: Frank-Wolfe steps move
+# whole edges in and out of the graph (gamma = 2/(t+2) is 1.0 on the
+# first step), which is a high-rank multiplicative perturbation, and the
+# one-step-stale factor preconditions it so poorly that 60 CG iterations
+# per inner solve still miss 1e-10 (ais2klinik screen: fiedler iters
+# 11 -> 68). Kept as an opt-in experiment knob (MAC.host_pcg = True);
+# the production lever for the large-n constant is pattern pruning in
+# splu_reduced instead (explicit zeros of unselected candidates inflate
+# COLAMD + gstrf — the reference factors the PRUNED matrix).
+HOST_PCG_REFRESH_ITS = 25
+
 
 class _IncrementalHostLap:
     """Fixed-pattern CSR Laplacian updater for the host Frank-Wolfe loop
@@ -789,6 +803,21 @@ class MAC:
             fw_polish = bool(fast32 and self.num_nodes <= 4096
                              and self.mesh is None)
         self.fw_polish = bool(fw_polish)
+        # Polish schedule (attributes, not ctor knobs — part of the
+        # automatic quality package; probe scripts override them).
+        # `fw_polish_rounds` caps exact FW rounds; `fw_polish_target` is
+        # the certified relative duality gap below which further rounds
+        # are provably pointless vs the +/-1e-4 band; the eval budget
+        # bounds total host eigensolves when the certificate stays open
+        # (sphere2500 has real headroom and would otherwise climb for
+        # ~23 evals / ~0.5 s). Round-4 shipped (1 round, 5e-5) and intel
+        # landed at -6.0e-5 vs the reference's canonical optimum
+        # (bench_all r4); round-5 screens (scripts/probe_r5_polish.py):
+        # intel +1.2e-5..+2.7e-5 at 11-13 evals / ~60 ms with the
+        # adaptive step ladder (see _host_polish).
+        self.fw_polish_rounds = 6
+        self.fw_polish_target = 5e-6
+        self.fw_polish_eval_budget = 12
         # Post-rounding exact repair (see _round_guard_impl): same regime
         # as the automatic fw_polish gate — small banded-f32 graphs where
         # host eigensolves are near-free — but independent of a user's
@@ -997,13 +1026,11 @@ class MAC:
             xm = np.where(xv > self.min_selection_weight_tol, xv, 0.0)
             L = self._host_lap(xm)
             self._exact_evals += 1
-            # Trial evals rank candidates whose values differ by >=1e-5
-            # relative; a rel-residual of 1e-6 puts the Rayleigh-quotient
-            # error around its square (~1e-12) — a loose referee is exact
-            # enough and roughly halves the TRACEMIN iterations (the
-            # measured polish cost is iteration-, not factorization-bound
-            # on sphere2500).
-            mi, rt = (40, 1e-8) if tight else (16, 1e-6)
+            # Loose trials rank points whose values differ by >= ~1e-5
+            # relative; rel-residual 1e-5 biases the Rayleigh quotient by
+            # its square (~1e-10) — exact enough, and ~2x fewer TRACEMIN
+            # iterations than the round-4 1e-6 setting.
+            mi, rt = (40, 1e-8) if tight else (16, 1e-5)
             lam, X, _ = host_tracemin_fiedler(
                 L, Xw, tol=1e-9, maxiter=mi, rel_tol=rt,
                 lu=splu_reduced(L))
@@ -1014,35 +1041,49 @@ class MAC:
         x = np.asarray(x, np.float64)
         f0, g, v0, Xb = f_grad_v(x, X0)
         best_x, best_f, best_v, best_X, accepted = x, f0, v0, Xb, False
-        # Rigorous skip: for concave f, the FW dual bound at the EXACT
-        # base point, u0 = f0 + g.(s0 - x), upper-bounds the relaxed
-        # optimum. If the certified suboptimality is already well inside
-        # the +/-1e-4 quality band, trial steps cannot move the needle —
-        # skip their eigensolves entirely (the intel regression was ~7
-        # eigensolves of polish on a 76 ms solve).
-        s0 = np.zeros(m)
-        s0[np.argpartition(g, m - k)[m - k:]] = 1.0
-        u0 = f0 + float(g @ (s0 - x))
-        if (u0 - f0) <= 5e-5 * abs(f0):
-            return best_x, best_v, best_X, False
-        # ONE polish round (round-3 verdict weak #4: unbounded climbing put
-        # ~9 eigensolves / 0.22 s of host work on intel's 0.11 s device
-        # solve; the first exact step captures nearly all of the tail —
-        # later rounds move the relaxed value by <1e-5 relative).
-        s = np.zeros(m)
-        top = np.argpartition(g, m - k)[m - k:]
-        s[top] = 1.0
-        for gamma in (1.0 / 32.0, 1.0 / 16.0):
-            xt = best_x + gamma * (s - best_x)
-            ft, gt, vt, Xt = f_grad_v(xt, best_X, tight=False)
-            if ft > best_f:
-                best_x, best_f, best_v, best_X, g = xt, ft, vt, Xt, gt
-                accepted = True
-            else:
-                # lambda_2 is concave in x, so f along the segment
-                # x + gamma (s - x) is concave in gamma: once the
-                # smaller step fails from this base point, the larger
-                # one must too — skip its eigensolve.
+        # Climb while the rigorous certificate says there is room: for
+        # concave f, the FW dual bound at the EXACT current point,
+        # u = f + g.(s - x), upper-bounds the relaxed optimum, so once
+        # (u - f) <= target*|f| further rounds provably cannot move the
+        # value past the quality band — skip their eigensolves. Rounds
+        # are capped (fw_polish_rounds) so the host tail stays bounded
+        # (round-3 verdict weak #4: UNbounded climbing put ~9 eigensolves
+        # / 0.22 s on intel's 0.11 s device solve; round 4's single round
+        # + 5e-5 target under-shot to -6.0e-5 vs the reference — round 5
+        # climbs to a 1e-5 certificate instead, ~2 extra warm solves).
+        # Adaptive step ladder (typical cost: ONE eigensolve per round):
+        # retry the step size that last worked, double it after a success
+        # (capped), halve after a failure; stop when even the smallest
+        # step fails (for concave f along the segment, a failed small
+        # step implies every larger one fails too — so only DOWNWARD
+        # retries need extra eigensolves).
+        gamma = 1.0 / 16.0
+        g_min, g_max = 1.0 / 64.0, 1.0 / 8.0
+        # Eval budget: total polish eigensolves (beyond the base one) are
+        # capped at fw_polish_eval_budget + 1 finishing solve — sphere2500
+        # has genuine certified headroom and would otherwise climb for
+        # ~23 evals (~0.5 s) chasing value the ±1e-4 band doesn't credit.
+        evals0 = self._exact_evals
+        for _ in range(max(int(self.fw_polish_rounds), 0)):
+            s = np.zeros(m)
+            s[np.argpartition(g, m - k)[m - k:]] = 1.0
+            u0 = best_f + float(g @ (s - best_x))
+            if (u0 - best_f) <= self.fw_polish_target * abs(best_f):
+                break
+            improved = False
+            while gamma >= g_min:
+                if (self._exact_evals - evals0
+                        >= max(int(self.fw_polish_eval_budget), 1)):
+                    break
+                xt = best_x + gamma * (s - best_x)
+                ft, gt, vt, Xt = f_grad_v(xt, best_X, tight=False)
+                if ft > best_f:
+                    best_x, best_f, best_v, best_X, g = xt, ft, vt, Xt, gt
+                    accepted = improved = True
+                    gamma = min(2.0 * gamma, g_max)
+                    break
+                gamma *= 0.5
+            if not improved:
                 break
         if accepted:
             # One tight finishing solve at the winner: downstream consumers
@@ -1109,10 +1150,17 @@ class MAC:
 
         r0 = np.asarray(rounded, np.float64)
         f0, Xr, lu0 = exact_eval_full(r0, X0)
-        if lu0 is None:
-            return rounded, False  # disconnected input: leave it alone
+        # lu0 None = the INPUT selection is disconnected (lambda_2 = 0,
+        # grounded factor exactly singular — since splu_reduced prunes
+        # explicit zeros, SuperLU detects this structurally rather than
+        # limping through epsilon pivots). That is the most collapsed
+        # input possible: score it 0 and let the Madow audit below
+        # de-collapse it. Only bail when the relaxed anchor itself is
+        # degenerate (nothing to repair toward).
+        if lu0 is None and not (f0 < 0.1 * f_relaxed):
+            return rounded, False
         best_r, best_f, best_X = r0, f0, Xr
-        wb = _WoodburyState(lu0, n - 1)
+        wb = _WoodburyState(lu0, n - 1) if lu0 is not None else None
 
         def ground_col(e):
             col = np.zeros(n - 1)
@@ -1246,11 +1294,13 @@ class MAC:
                 best_r, best_f, best_X, 2, maxiter=12, rel_tol=1e-4,
                 stop_at=0.5 * f_relaxed)
             loose_winner = best_f > bf_in
-        else:
+        elif wb is not None:
             # No sample beat the collapsed base (k too small for Madow
             # variety, or the relaxed iterate itself is fragile): fall
             # back to 1-swap climbing with FULL referees — loose ones
-            # cannot rank from a collapsed basis (see above).
+            # cannot rank from a collapsed basis (see above). Requires a
+            # nonsingular base factor for the Woodbury trials; a
+            # disconnected input with no winning sample stays as-is.
             best_r, best_f, best_X = swap_climb(
                 best_r, best_f, best_X, 6, stop_at=0.5 * f_relaxed,
                 width=4)
@@ -1467,7 +1517,18 @@ class MAC:
         # force a fresh factor on the next step.
         period_h = (self.precond_refresh_period if self._precond_period_user
                     else HOST_LU_REFRESH)
+        # Large-n regime: skip warm-step refactorizations by solving the
+        # CURRENT grounded system with block CG preconditioned by the last
+        # factor (ops.host_tracemin.block_pcg). Auto above HOST_PCG_MIN_N
+        # unless the user pinned an explicit refresh cadence.
+        use_pcg = (use_cache and not self._precond_period_user
+                   and getattr(self, "host_pcg", False))
+        from mac_tpu.ops.host_tracemin import block_pcg
+        import scipy.sparse as _sp
+
         lu = None
+        pcg_refresh = False
+        pcg_stats = []  # (fw_step, cg_iters_per_inner_solve...)
         maxiter_h = min(self.fiedler_maxiter, 60)
 
         solve_start = timer()
@@ -1477,13 +1538,40 @@ class MAC:
         for it in range(int(max_iters)):
             xm = np.where(x > self.min_selection_weight_tol, x, 0.0)
             L = self._host_lap(xm)
-            if lu is None or not use_cache or it % period_h == 0:
-                lu = splu_reduced(L)
-            lam, Xb, its = host_tracemin_fiedler(
-                L, X if use_cache else X0, tol=self.fiedler_tol,
-                maxiter=maxiter_h, rel_tol=rel_tol, lu=lu)
-            if its >= maxiter_h:
-                lu = None  # unconverged with a stale factor: refactor next
+            if use_pcg:
+                if lu is None or pcg_refresh:
+                    lu = splu_reduced(L)
+                    pcg_refresh = False
+                    lam, Xb, its = host_tracemin_fiedler(
+                        L, X if use_cache else X0, tol=self.fiedler_tol,
+                        maxiter=maxiter_h, rel_tol=rel_tol, lu=lu)
+                else:
+                    Lred = _sp.csr_matrix(L.tocsr()[1:, 1:])
+                    cg_its = []
+
+                    def solve_pcg(B):
+                        Y, cgit, ok = block_pcg(
+                            Lred, B, lu.solve, tol=1e-10, maxiter=60)
+                        cg_its.append(cgit)
+                        return Y
+
+                    lam, Xb, its = host_tracemin_fiedler(
+                        L, X if use_cache else X0, tol=self.fiedler_tol,
+                        maxiter=maxiter_h, rel_tol=rel_tol,
+                        solve_fn=solve_pcg)
+                    pcg_stats.append((it, cg_its))
+                    if cg_its and max(cg_its) > HOST_PCG_REFRESH_ITS:
+                        pcg_refresh = True  # drifted: refresh before next
+                if its >= maxiter_h:
+                    pcg_refresh = True  # outer budget exhausted: refresh
+            else:
+                if lu is None or not use_cache or it % period_h == 0:
+                    lu = splu_reduced(L)
+                lam, Xb, its = host_tracemin_fiedler(
+                    L, X if use_cache else X0, tol=self.fiedler_tol,
+                    maxiter=maxiter_h, rel_tol=rel_tol, lu=lu)
+                if its >= maxiter_h:
+                    lu = None  # unconverged, stale factor: refactor next
             if use_cache:
                 X = Xb
             fiters += its
@@ -1515,6 +1603,8 @@ class MAC:
             "fw_time_s": timer() - solve_start,
             "backend": "host",
         }
+        if use_pcg:
+            self.last_solve_stats["host_pcg_iters"] = pcg_stats
 
         start = timer()
         if rounding == "madow":
