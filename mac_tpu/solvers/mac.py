@@ -595,6 +595,17 @@ class MAC:
         # chunking outright; an int forces that chunk size.
         self.fw_dispatch_chunk = (
             None if fw_dispatch_chunk is None else int(fw_dispatch_chunk))
+        # Eigensolver outers per dispatch for the COLD pre-solve under
+        # chunked execution (see solve's _run_fw_chunked): even a
+        # chunk-size-1 FW program contains step 0's full-budget TRACEMIN
+        # (fiedler_maxiter outers), and at n = 1e6 that single execution
+        # exceeds the axon runtime's ~5-minute kill (measured: worker
+        # 'kernel fault' on the first chunk). The pre-solve runs the same
+        # eigensolve in bounded dispatches, warm-carrying the Ritz block,
+        # so the in-program step-0 solve early-exits in a few outers.
+        # None = automatic (10 outers/dispatch once n >= 400k on the
+        # chunked path); 0 disables.
+        self.fw_cold_presolve_outers = None
 
         with self._device_ctx():
             self._finish_init(fixed_idx, w_fixed, cand_idx, w_cand, n,
@@ -818,6 +829,15 @@ class MAC:
         self.fw_polish_rounds = 6
         self.fw_polish_target = 5e-6
         self.fw_polish_eval_budget = 12
+        # Climb-ability gate: the round-0 certified gap separates
+        # precision-limited endpoints (intel: ~5e-4 — the f32 floor, a
+        # few exact rounds close the certificate and pin quality >= 0)
+        # from step-count-limited ones (sphere2500: ~4e-2 — real headroom
+        # no budget can certify away; every measured config already sits
+        # >= +3e-3 ABOVE the reference there, so climbing burns ~20 ms
+        # per eigensolve chasing value the +/-1e-4 band doesn't credit).
+        # Above the gate, polish does ONE exact round and stops.
+        self.fw_polish_big_gap = 5e-3
         # Post-rounding exact repair (see _round_guard_impl): same regime
         # as the automatic fw_polish gate — small banded-f32 graphs where
         # host eigensolves are near-free — but independent of a user's
@@ -856,6 +876,8 @@ class MAC:
         self._eval_vec_jit = jax.jit(self._eval_vec_impl)
         self._eval_many_jit = jax.jit(self._eval_many_impl)
         self._problem_jit = jax.jit(self._problem_impl)
+        self._cold_presolve_jit = jax.jit(
+            self._cold_presolve_impl, static_argnames=("chunk_maxiter",))
         self._fw_jit = jax.jit(
             self._fw_impl,
             static_argnames=("k", "maxiter", "use_cache", "verbose",
@@ -928,6 +950,20 @@ class MAC:
             return_banded_pstate=want_pstate,
             banded_shardings=self._banded_shardings,
         )
+
+    def _cold_presolve_impl(self, params, x0, X, *, chunk_maxiter):
+        """One bounded slice of the cold Fiedler solve at x0 (chunked
+        execution only — see fw_cold_presolve_outers): identical
+        tolerances to the Frank-Wolfe step-0 eigensolve, capped at
+        `chunk_maxiter` outer iterations. Returns (X', iters); the caller
+        re-dispatches with X' until iters < chunk_maxiter (the while_loop
+        exited on convergence/stall rather than budget). The stall
+        detector's best-so-far state resets across dispatches, so the
+        outer count may differ slightly from the single-program solve —
+        the converged block is equivalent."""
+        res = self._fiedler(params, self._w_all(params, x0), X,
+                            maxiter=chunk_maxiter)
+        return res.X, res.iters
 
     def _eval_rel_tol(self):
         """Residual tolerance for standalone OBJECTIVE EVALUATIONS (not
@@ -1064,12 +1100,23 @@ class MAC:
         # has genuine certified headroom and would otherwise climb for
         # ~23 evals (~0.5 s) chasing value the ±1e-4 band doesn't credit.
         evals0 = self._exact_evals
-        for _ in range(max(int(self.fw_polish_rounds), 0)):
+        self.last_polish_info = None
+        for rnd in range(max(int(self.fw_polish_rounds), 0)):
             s = np.zeros(m)
             s[np.argpartition(g, m - k)[m - k:]] = 1.0
             u0 = best_f + float(g @ (s - best_x))
-            if (u0 - best_f) <= self.fw_polish_target * abs(best_f):
+            gap = (u0 - best_f) / abs(best_f) if best_f else np.inf
+            if rnd == 0:
+                # Observability: the certified relative duality gap at the
+                # f32 endpoint tells climb-ability apart — precision-limited
+                # iterates (intel, ~1e-4) can close it; step-count-limited
+                # ones (sphere2500, ~1e-2) cannot within any sane budget.
+                self.last_polish_info = {"gap0": gap}
+            if gap <= self.fw_polish_target:
                 break
+            if rnd >= 1 and (self.last_polish_info["gap0"]
+                             > self.fw_polish_big_gap):
+                break  # step-count-limited: one exact round is the tail
             improved = False
             while gamma >= g_min:
                 if (self._exact_evals - evals0
@@ -1853,13 +1900,34 @@ class MAC:
                 inner_schedule=self._warm_inner_schedule,
                 tail_average=tail_avg,
             )
-            carry = self._fw_jit(self._params, x_init, self._X0,
+            # Cold pre-solve: even one FW step contains step 0's
+            # full-budget eigensolve, which alone exceeds the execution
+            # kill at n >= ~1e6 — run it here in bounded dispatches and
+            # seed the loop carry with the converged Ritz block (the
+            # in-program step-0 solve then early-exits in a few outers).
+            presolve = self.fw_cold_presolve_outers
+            if presolve is None:
+                presolve = 10 if self.num_nodes >= 400_000 else 0
+            X_seed = self._X0
+            if presolve and use_cache:
+                done_outers = 0
+                budget = int(self.fiedler_maxiter)
+                kk = int(presolve)
+                while done_outers < budget:
+                    kk = min(kk, budget - done_outers)
+                    X_seed, its = self._cold_presolve_jit(
+                        self._params, x_init, X_seed, chunk_maxiter=kk)
+                    its = int(jax.device_get(its))
+                    done_outers += its
+                    if its < kk:
+                        break
+            carry = self._fw_jit(self._params, x_init, X_seed,
                                  init_carry_only=True, **common)
             end = 0
             while end < int(max_iters):
                 end = min(end + int(chunk), int(max_iters))
                 carry = self._fw_jit(
-                    self._params, x_init, self._X0, fw_carry0=carry,
+                    self._params, x_init, X_seed, fw_carry0=carry,
                     maxiter_traced=jnp.asarray(end, jnp.int32),
                     return_fw_carry=True, **common)
                 done = bool(jax.device_get(carry[4]))
@@ -1868,7 +1936,7 @@ class MAC:
             # Finalize (tail-average unpack + fused rounding) in a tiny
             # program: maxiter 0 <= it skips the loop body entirely.
             return self._fw_jit(
-                self._params, x_init, self._X0, fw_carry0=carry,
+                self._params, x_init, X_seed, fw_carry0=carry,
                 maxiter_traced=jnp.asarray(0, jnp.int32), **common)
 
         # Big matrix-free (ELL) instances: chunk the dispatch (see

@@ -748,3 +748,35 @@ def test_round_guard_repairs_collapsed_rounding():
     assert f_kept >= f_good - 1e-12
     if not hit2:
         assert np.array_equal(kept, good)
+
+
+def test_chunked_dispatch_with_cold_presolve_equivalence():
+    """Chunked execution (fw_dispatch_chunk) with the cold eigensolve
+    pre-solve (fw_cold_presolve_outers) must match the single-program
+    solve: the presolve runs the SAME step-0 TRACEMIN in bounded
+    dispatches, warm-carrying the Ritz block (the n=1e6 execution-kill
+    mitigation — see solve's _run_fw_chunked)."""
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(7)
+    n = 120
+    fixed = [Edge(i, i + 1, 1.0 + rng.rand()) for i in range(n - 1)]
+    cands = [Edge(int(a), int(b), 1.0)
+             for a, b in rng.randint(0, n, size=(60, 2)) if a != b]
+    k = 12
+    m = len(cands)
+    x0 = np.full(m, k / m)
+
+    base = MAC(fixed, cands, n, fiedler_backend="device")
+    r0, u0, b0 = base.solve(k, x0, use_cache=True, max_iters=12)
+
+    chunked = MAC(fixed, cands, n, fiedler_backend="device",
+                  fw_dispatch_chunk=2)
+    chunked.fw_cold_presolve_outers = 3  # force the presolve path
+    r1, u1, b1 = chunked.solve(k, x0, use_cache=True, max_iters=12)
+
+    f0 = base.evaluate_objective(u0)
+    f1 = base.evaluate_objective(u1)
+    assert np.isclose(f0, f1, rtol=1e-8, atol=1e-12)
+    assert np.array_equal(np.asarray(r0), np.asarray(r1))
+    assert np.isclose(b0, b1, rtol=1e-8)
