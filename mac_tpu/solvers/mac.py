@@ -2011,7 +2011,27 @@ class MAC:
         polished_v = None
         polished_X = None
         self._exact_evals = 0  # host f64 eigensolves in polish + guard
-        if self.fw_polish:
+        run_polish = self.fw_polish
+        if run_polish and use_cache:
+            # Climb-ability PRE-gate (see fw_polish_big_gap): estimate the
+            # certified relative duality gap at the f32 endpoint from the
+            # in-loop dual bound + the f64-refined Rayleigh quotient —
+            # both already in hand, no host eigensolve. Step-count-limited
+            # endpoints (sphere2500: ~4e-2, vs the ~1e-4 f32 noise of u)
+            # can't close the certificate within any sane budget, and the
+            # single exact round the in-polish gate allowed still cost
+            # ~80 ms for ~+2e-4 on a +3.8e-3 cushion (bench_all r5) —
+            # skip the host tail entirely. use_cache=False runs keep the
+            # unconditional polish: their device X is the untouched random
+            # X0, so no trustworthy endpoint estimate exists.
+            v_est = np.asarray(X[:, 0], np.float64)
+            f_est = self._refine_lambda(np.asarray(x, np.float64), v_est)
+            gap_est = (float(u) - f_est) / abs(f_est) if f_est else np.inf
+            if gap_est > self.fw_polish_big_gap:
+                run_polish = False
+                self.last_solve_stats["polished"] = False
+                self.last_solve_stats["polish_skipped_gap"] = float(gap_est)
+        if run_polish:
             polish_start = timer()
             # Warm-start the exact polish eigensolve from the float32
             # device basis (mapped back to original node ordering when the
