@@ -779,17 +779,18 @@ class MAC:
         # count reaches mac_tpu.ops.cg.pcg_fixed as a dynamic
         # fori_loop bound (while_loop lowering — no unrolling).
         if fiedler_warm_inner_iters is None:
-            # Automatic on the banded float32 path: 6 preconditioned-CG
-            # steps on EVERY warm FW step ('flat6'). TPU-measured round 4
-            # (city10000 K=50%, warm medians of 5): static-10 0.2993 s /
-            # relaxed gap +4.82e-4; flat6 0.2280 s / +1.03e-3 — 24%
-            # faster AND better quality. The dynamic fori_loop CG bound
-            # alone is ~8% of it (flat10 at identical math: 0.2757 s);
-            # late6 (depth 10 until step 10) 0.2513 s / +1.01e-3; late4
-            # 0.2551 s / +4.5e-4; decay-to-6 0.2430 s / -5.6e-4
-            # (rejected: quality). CPU f32 screens (round 3/4) hold
-            # sphere2500/intel in band under shallow inner schedules.
-            self._warm_inner_schedule = ((1, 6),) if fast32 else None
+            # Automatic on the banded float32 path: 5 preconditioned-CG
+            # steps on EVERY warm FW step ('flat5'). TPU-measured round 5
+            # (city10000 K=50%, warm medians of 5, s32):
+            # flat6 0.2084 s / relaxed gap +4.11e-4; flat5 0.1839 s /
+            # +2.87e-4; flat4 0.1715 s / -7.03e-4 (REJECTED: quality
+            # floor is >= 0 vs the reference optimum). Deeper history
+            # (round 4): static-10 0.2993 s; the dynamic fori_loop CG
+            # bound alone is ~8%; late6/late4/decay all dominated.
+            # sphere2500 holds quality under even flat4 on real TPU
+            # (+2.80e-3, probe_r5_sphere.py); intel screened in-band on
+            # CPU f32 (same code path, quality only).
+            self._warm_inner_schedule = ((1, 5),) if fast32 else None
         elif isinstance(fiedler_warm_inner_iters, int):
             self._warm_inner_schedule = ((1, int(fiedler_warm_inner_iters)),)
         else:
@@ -1196,16 +1197,39 @@ class MAC:
             return float(lam[0]), Xx, lu
 
         r0 = np.asarray(rounded, np.float64)
-        f0, Xr, lu0 = exact_eval_full(r0, X0)
-        # lu0 None = the INPUT selection is disconnected (lambda_2 = 0,
-        # grounded factor exactly singular — since splu_reduced prunes
-        # explicit zeros, SuperLU detects this structurally rather than
-        # limping through epsilon pivots). That is the most collapsed
-        # input possible: score it 0 and let the Madow audit below
-        # de-collapse it. Only bail when the relaxed anchor itself is
-        # degenerate (nothing to repair toward).
-        if lu0 is None and not (f0 < 0.1 * f_relaxed):
-            return rounded, False
+        # FREE certified collapse test (round 5): the Rayleigh quotient of
+        # ANY 1-perp vector upper-bounds lambda_2, so U = RQ of the relaxed
+        # Fiedler vector on L(r0) < 0.1 f_relaxed PROVES the collapse with
+        # pure numpy — skipping the guard's single most expensive solve
+        # (tight TRACEMIN + splu on the collapsed operator, whose basis
+        # converges slowly; ~30 iterations measured on sphere2500). The
+        # base's true value f0 <= U, so "sample beats U" certifies the
+        # monotone contract without ever eigensolving the base.
+        base_lazy = False
+        if X_warm is not None:
+            vr = np.asarray(X_warm[:, 0], np.float64)
+            vr = vr - vr.mean()
+            wall = np.concatenate([wf, wc * r0])
+            dall = vr[idx[:, 0]] - vr[idx[:, 1]]
+            u_base = float((wall * dall * dall).sum() / (vr @ vr))
+            base_lazy = u_base < 0.1 * f_relaxed
+        if base_lazy:
+            # Collapsed for sure: the Madow audit below repairs from the
+            # RELAXED basis (the samples select with probability ~x, so
+            # the relaxed block is the right warm start — the collapsed
+            # base's block is useless to them, see below).
+            f0, Xr, lu0 = u_base, np.asarray(X_warm, np.float64), None
+        else:
+            f0, Xr, lu0 = exact_eval_full(r0, X0)
+            # lu0 None = the INPUT selection is disconnected (lambda_2 = 0,
+            # grounded factor exactly singular — since splu_reduced prunes
+            # explicit zeros, SuperLU detects this structurally rather than
+            # limping through epsilon pivots). That is the most collapsed
+            # input possible: score it 0 and let the Madow audit below
+            # de-collapse it. Only bail when the relaxed anchor itself is
+            # degenerate (nothing to repair toward).
+            if lu0 is None and not (f0 < 0.1 * f_relaxed):
+                return rounded, False
         best_r, best_f, best_X = r0, f0, Xr
         wb = _WoodburyState(lu0, n - 1) if lu0 is not None else None
 
@@ -1333,6 +1357,13 @@ class MAC:
             if ft > best_f:
                 best_r, best_f, best_X = rt, ft, Xt
                 best_lu = lut
+            if best_f >= 0.5 * f_relaxed:
+                # De-collapsed far past the win condition (the collapsed
+                # regime sits >= 10x BELOW the relaxed anchor; we are
+                # within 2x of it) — auditing the remaining samples buys
+                # decoration at ~25 ms/eigensolve. Same bar as the
+                # swap-climb stop below.
+                break
         loose_winner = False
         if best_lu is not None:
             wb = _WoodburyState(best_lu, n - 1)
@@ -1341,6 +1372,19 @@ class MAC:
                 best_r, best_f, best_X, 2, maxiter=12, rel_tol=1e-4,
                 stop_at=0.5 * f_relaxed)
             loose_winner = best_f > bf_in
+        elif base_lazy:
+            # No sample beat the certified-collapse upper bound and the
+            # base was never eigensolved: anchor on the true base now so
+            # the full-referee 1-swap fallback below has a Woodbury
+            # factor to climb from.
+            f0, Xr, lu0 = exact_eval_full(r0, X0)
+            if best_f <= f0:
+                best_r, best_f, best_X = r0, f0, Xr
+            if lu0 is not None:
+                wb = _WoodburyState(lu0, n - 1)
+                best_r, best_f, best_X = swap_climb(
+                    best_r, best_f, best_X, 6, stop_at=0.5 * f_relaxed,
+                    width=4)
         elif wb is not None:
             # No sample beat the collapsed base (k too small for Madow
             # variety, or the relaxed iterate itself is fragile): fall

@@ -750,6 +750,53 @@ def test_round_guard_repairs_collapsed_rounding():
         assert np.array_equal(kept, good)
 
 
+def test_round_guard_certified_collapse_skips_base_eigensolve():
+    """With X_warm supplied (the production call, mac.py solve exit), a
+    provably-collapsed rounding must engage the round-5 lazy-base path:
+    the Rayleigh quotient of the relaxed Fiedler vector on L(rounded)
+    certifies the collapse for free, so the guard repairs it from the
+    Madow audit WITHOUT the expensive base eigensolve (1-2 exact evals
+    instead of 4+), and the repair must still be a certified improvement."""
+    import jax.numpy as jnp
+
+    from mac_tpu.utils.graphs import Edge
+
+    rng = np.random.RandomState(5)
+    half = 40
+    n = 2 * half
+    fixed = [Edge(i, i + 1, 1.0 + rng.rand()) for i in range(half - 1)]
+    fixed += [Edge(half + i, half + i + 1, 1.0 + rng.rand())
+              for i in range(half - 1)]
+    bridges = [Edge(10, half + 10, 0.6), Edge(20, half + 20, 0.6)]
+    inside = [Edge(i, i + 2, 1.0) for i in range(0, 30, 3)]
+    cands = bridges + inside
+    k = 4
+
+    mac = MAC(fixed, cands, n, dtype=jnp.float32, use_banded=True)
+    m = len(cands)
+    x_rel = np.full(m, k / m)
+    bad = np.zeros(m)
+    bad[2:2 + k] = 1.0  # no bridge: the two communities disconnect
+    L = mac.laplacian(x_rel).toarray()
+    lam, V = np.linalg.eigh(L)
+    X_warm = np.concatenate(
+        [V[:, 1:2], rng.randn(n, 7)], axis=1)  # true Fiedler vector first
+    f_rel = float(lam[1])
+    mac._exact_evals = 0
+    repaired, hit = mac._round_guard_impl(
+        bad, jnp.asarray(x_rel, jnp.float32), f_rel, k, seed=0,
+        X_warm=X_warm)
+    assert hit
+    assert repaired.sum() == k
+    assert repaired[0] > 0.5 or repaired[1] > 0.5  # a bridge was added
+    f_bad = mac.evaluate_objective(bad)
+    f_rep = mac.evaluate_objective(repaired)
+    assert f_rep > f_bad + 1e-6
+    # The base eigensolve was skipped: only the Madow audit's evals ran
+    # (<= R samples; the old path spent 1 base + R sample evals).
+    assert mac._exact_evals <= 3
+
+
 def test_chunked_dispatch_with_cold_presolve_equivalence():
     """Chunked execution (fw_dispatch_chunk) with the cold eigensolve
     pre-solve (fw_cold_presolve_outers) must match the single-program
