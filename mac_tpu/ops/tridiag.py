@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 
 
+FORCE_SCAN = False  # see tridiag_solve_factored_fast
+
+
 class TridiagFactor:
     """LDL^T factor of an SPD tridiagonal matrix: T = L diag(dp) L^T with
     unit-lower-bidiagonal L, subdiagonal l.
@@ -227,7 +230,15 @@ def tridiag_solve_factored_fast(f: TridiagFactor, B: jax.Array) -> jax.Array:
     loop), the associative-scan path elsewhere. float64 blocks (automatic
     precision escalation) stay on the scan path: TPU XLA cannot rewrite
     x64 types through a Pallas custom call. Under vmap (budget sweeps) the
-    kernels fall back to the scan path via a custom_vmap rule."""
+    kernels fall back to the scan path via a custom_vmap rule.
+
+    FORCE_SCAN (module flag, read at trace time) pins the scan path
+    everywhere — an A/B instrument for the layout-copy question: the
+    round-5 city10000 trace shows ~12 XLA `copy` ops (~47 us) per inner-CG
+    iteration bracketing the two Pallas custom calls (XLA cannot relayout
+    through a custom call), ~10x the kernels' own 2 x 4.9 us compute."""
+    if FORCE_SCAN:
+        return tridiag_solve_factored(f, B)
     # Narrow blocks only: the kernel holds the whole (q_pad, n_pad) block in
     # VMEM, which is right for eigensolver blocks (q <= ~16) but OOMs for
     # the wide multi-RHS chunks of GreedyESP's batched solves.

@@ -83,6 +83,16 @@ def _graph_is_connected(idx: np.ndarray, n: int) -> bool:
 # is measured safe, see precond_refresh_period.)
 HOST_LU_REFRESH = 1
 
+# Auto-routing size gate: on accelerator sessions, meshless instances at
+# or below this node count run the host f64 engine even when float32
+# resolves their gap — the device path's dispatch/program floor (~0.2 s
+# through the axon tunnel) dominates graphs this small. Crossover
+# measured round 5: intel (n=1728) host 0.128 s / relaxed -2.8e-11 vs
+# banded-f32 0.22 s / -1.1e-5; sphere2500 (n=2500) host 0.234 s ~= banded
+# 0.2275 s but loses the round guard's 208x rounded-selection rescue, so
+# the gate sits between them.
+SMALL_HOST_N = 2000
+
 # Stale-factor-preconditioned block CG for the host path's warm steps
 # (ops.host_tracemin.block_pcg): unlike the stale-inverse-iteration
 # cadence above this is CORRECT (the operator stays exact; only the
@@ -483,6 +493,7 @@ class MAC:
         self.auto_dtype_reason = None
         self.spectral_ratio = None
         self._tiny_gap = False
+        self._small_host = False
         if dtype is None:
             dtype = _fiedler.default_dtype()
             if dtype == jnp.float32:
@@ -496,6 +507,30 @@ class MAC:
                         "resolution; escalated to float64"
                     )
                     self._tiny_gap = True
+                elif (n <= SMALL_HOST_N and mesh is None
+                      and fiedler_backend is None and use_banded is None):
+                    # Small instances on an accelerator session: even when
+                    # float32 CAN resolve the gap, the device path pays a
+                    # ~0.2 s dispatch/program floor that dwarfs the actual
+                    # math, while the host f64 engine (splu TRACEMIN,
+                    # ops/host_tracemin.py) solves them exactly. Measured
+                    # round 5 (intel, n=1728, K=50%): host 0.128 s at
+                    # relaxed parity -2.8e-11 vs banded-f32 0.22 s at
+                    # -1.1e-5 — faster AND strictly reference-grade
+                    # quality, no polish tail needed. sphere2500 (n=2500)
+                    # sits just past the crossover (host 0.234 s ~= banded
+                    # 0.2275 s) and its collapsed nearest rounding needs
+                    # the device path's round guard, so the gate stays
+                    # below it. Escalating dtype reuses the tiny-gap
+                    # configuration shape (f64 + CPU pin + host engine).
+                    # Explicit dtype / use_banded / fiedler_backend all
+                    # bypass this block — the knobs win.
+                    dtype = jnp.float64
+                    self.auto_dtype_reason = (
+                        f"small instance (n <= {SMALL_HOST_N}) on an "
+                        "accelerator session: host f64 engine dominates "
+                        "the device dispatch floor")
+                    self._small_host = True
             elif (dtype == jnp.float64 and mesh is None and n <= 20000
                   and fiedler_backend is None):
                 # Float64 session default (CPU backend): no precision
@@ -577,10 +612,11 @@ class MAC:
             # stage-1 estimate is noise-level and can even come out
             # negative on CONNECTED graphs — so decide by an exact (and
             # cheap, O(m)) connectivity check instead.
-            disconnected = self._tiny_gap and not _graph_is_connected(
+            host_want = self._tiny_gap or self._small_host
+            disconnected = host_want and not _graph_is_connected(
                 np.concatenate([fixed_idx, cand_idx], axis=0), n)
             fiedler_backend = (
-                "host" if (self._tiny_gap and not disconnected
+                "host" if (host_want and not disconnected
                            and mesh is None)
                 else "device")
         assert fiedler_backend in ("device", "host")
