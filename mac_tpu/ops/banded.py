@@ -75,6 +75,11 @@ BS = 128  # MXU-aligned node-block size
 # narrow: ndiag = 2*ceil-ish(bw/128)+1 block diagonals cost
 # ndiag * n_pad * 128 * 4 bytes each for BD and the slot table.
 MAX_BANDWIDTH = 640
+# Max per-block overflow entries the fused assembly kernel will unroll
+# as in-kernel one-hot passes (each is a (W, BS) masked add ~0.2 us;
+# the dense slot row it replaces costs ~72 us of HBM gather per FW step
+# on city10000 — see BandedOperator.oeid_tbl).
+OV_CAP = 6
 # Target coarse-grid size for the two-level preconditioner (matches the
 # round-1 two-grid default; see mac_tpu.ops.twogrid).
 COARSE_NC = 512
@@ -128,11 +133,24 @@ class BandedOperator:
     perm: jax.Array
     iperm: jax.Array
     chain_eid: jax.Array
+    # Overflow split for the fused assembly kernel (round 5): slots are
+    # occupancy-ranked, so ueid_tbl[:du_dense] covers almost every edge
+    # and the tail lives in tiny per-block SMEM tables (ov_rows, nb) —
+    # oeid (edge id into w_pad, sentinel m = weight 0 for padding),
+    # ocol (sheared target column), olane (node mod BS). du_dense == du
+    # and ov_rows == 0 when the split does not pay (see build_banded).
+    oeid_tbl: jax.Array
+    ocol_tbl: jax.Array
+    olane_tbl: jax.Array
     n: int = dataclasses.field(metadata=dict(static=True))
     nb: int = dataclasses.field(metadata=dict(static=True))
     ndiag: int = dataclasses.field(metadata=dict(static=True))
     coarse_s: int = dataclasses.field(metadata=dict(static=True))
     coarse_nc: int = dataclasses.field(metadata=dict(static=True))
+    du_dense: int = dataclasses.field(default=0,
+                                      metadata=dict(static=True))
+    ov_rows: int = dataclasses.field(default=0,
+                                     metadata=dict(static=True))
 
     @property
     def half(self) -> int:
@@ -234,6 +252,37 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
     dcol[lo_s, slot] = (BS + (hi[order] - lo_s) + (lo_s % BS)).astype(
         np.int32)
 
+    # Overflow split policy (see BandedOperator.oeid_tbl / the fused
+    # kernel's _assemble_kernel_ov): upper-degrees are heavy-tailed, so
+    # the trailing slots pay a full (1, n_pad) weight-gather row for a
+    # handful of edges. Pick the smallest dense slot count whose
+    # per-BLOCK overflow fits OV_CAP unrolled in-kernel one-hot passes;
+    # only take the split when it drops >= 2 gather rows (below that the
+    # extra tiny gather + passes wash out).
+    du_dense, ov_rows = du, 0
+    oeid_t = np.zeros((0, nb), dtype=np.int32)
+    ocol_t = np.zeros((0, nb), dtype=np.int32)
+    olane_t = np.zeros((0, nb), dtype=np.int32)
+    if du > 3:
+        occ_blk = (ueid != m).reshape(nb, BS, du).sum(axis=1)  # (nb, du)
+        tail = np.cumsum(occ_blk[:, ::-1], axis=1)[:, ::-1]    # >= slot d
+        for d in range(2, du - 1):
+            ov_max = int(tail[:, d].max(initial=0))
+            if ov_max <= OV_CAP:
+                du_dense, ov_rows = d, ov_max
+                break
+    if ov_rows > 0:
+        oeid_t = np.full((ov_rows, nb), m, dtype=np.int32)
+        ocol_t = np.zeros((ov_rows, nb), dtype=np.int32)
+        olane_t = np.zeros((ov_rows, nb), dtype=np.int32)
+        node, sl = np.nonzero(ueid[:, du_dense:] != m)
+        blk = node // BS
+        # Rank within block (np.nonzero iterates row-major: node asc).
+        pos = np.arange(len(blk)) - np.searchsorted(blk, blk, side="left")
+        oeid_t[pos, blk] = ueid[node, du_dense + sl]
+        ocol_t[pos, blk] = dcol[node, du_dense + sl]
+        olane_t[pos, blk] = (node % BS).astype(np.int32)
+
     if perm is None:
         perm = np.arange(n, dtype=np.int64)
         iperm = perm
@@ -270,11 +319,16 @@ def build_banded(idx: np.ndarray, num_nodes: int, dtype=jnp.float32,
         perm=jnp.asarray(perm, dtype=jnp.int32),
         iperm=jnp.asarray(iperm, dtype=jnp.int32),
         chain_eid=jnp.asarray(chain_eid),
+        oeid_tbl=jnp.asarray(oeid_t),
+        ocol_tbl=jnp.asarray(ocol_t),
+        olane_tbl=jnp.asarray(olane_t),
         n=n,
         nb=nb,
         ndiag=ndiag,
         coarse_s=s,
         coarse_nc=nc,
+        du_dense=du_dense,
+        ov_rows=ov_rows,
     )
 
 
@@ -319,7 +373,6 @@ def assemble_bd(bop: BandedOperator, w: jax.Array,
     Pallas custom call across a 'graph'-sharded output."""
     dtype = w.dtype
     w_pad = jnp.concatenate([-w, jnp.zeros((1,), dtype)])
-    wu = w_pad[bop.ueid_tbl]  # (du, n_pad): nodes on the lane axis
     if fused is None:
         # Gate on the device the program will actually execute on: under a
         # jax.default_device(cpu) pin (MAC's _on_instance_device pattern)
@@ -331,7 +384,8 @@ def assemble_bd(bop: BandedOperator, w: jax.Array,
         fused = (FUSED_ASSEMBLY_ENABLED
                  and platform == "tpu"
                  and dtype == jnp.float32)
-    ut = _assemble_ut_fused_op(bop, wu) if fused else _assemble_ut_xla(bop, wu)
+    ut = (_assemble_ut_fused_op(bop, w_pad) if fused
+          else _assemble_ut_xla(bop, w_pad[bop.ueid_tbl]))
     return BDRep(ut=ut, deg=_deg_from_ut(ut))
 
 
@@ -356,21 +410,35 @@ def _assemble_ut_xla(bop: BandedOperator, wu: jax.Array) -> jax.Array:
 
 
 @jax.custom_batching.custom_vmap
-def _assemble_ut_fused_op(bop: BandedOperator, wu: jax.Array) -> jax.Array:
+def _assemble_ut_fused_op(bop: BandedOperator, w_pad: jax.Array) -> jax.Array:
     """Fused Pallas assembly of the transposed upper block diagonals (TPU
     f32): each node block's sheared rows live only in VMEM and the
     (half+1, nb, BS, BS) tensor is written directly — no HBM Sh
-    intermediate and no slice/stack expansion."""
-    from mac_tpu.ops.pallas.assemble_kernel import assemble_ut_fused
+    intermediate and no slice/stack expansion.
 
-    return assemble_ut_fused(bop.dcol_tbl, wu, half=bop.half, nb=bop.nb)
+    Takes the padded NEGATED weight vector (not the gathered slot table):
+    with the round-5 overflow split the op gathers only the du_dense
+    dominant slot rows — the whole point is shrinking that gather — and
+    routes the tail through the (ov_rows, nb) SMEM tables."""
+    from mac_tpu.ops.pallas.assemble_kernel import (assemble_ut_fused,
+                                                    assemble_ut_fused_ov)
+
+    if bop.ov_rows > 0:
+        wu = w_pad[bop.ueid_tbl[:bop.du_dense]]
+        ow = w_pad[bop.oeid_tbl]
+        return assemble_ut_fused_ov(
+            bop.dcol_tbl[:bop.du_dense], wu, bop.ocol_tbl, bop.olane_tbl,
+            ow, half=bop.half, nb=bop.nb)
+    return assemble_ut_fused(bop.dcol_tbl, w_pad[bop.ueid_tbl],
+                             half=bop.half, nb=bop.nb)
 
 
-def _assemble_fused_batch_rule(axis_size, in_batched, bop, wu):
+def _assemble_fused_batch_rule(axis_size, in_batched, bop, w_pad):
     """Under vmap (budget sweeps) fall back to the XLA sheared path —
     Mosaic cannot lower Pallas kernels through vmap's loop batching (same
     constraint as the tridiag kernels in mac_tpu.ops.tridiag)."""
-    out = jax.vmap(lambda w_: _assemble_ut_xla(bop, w_))(wu)
+    out = jax.vmap(lambda wp: _assemble_ut_xla(bop, wp[bop.ueid_tbl]))(
+        w_pad)
     return out, True
 
 

@@ -167,6 +167,42 @@ def test_assemble_fused_kernel_matches_xla_shapes(n, n_loops, span):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_assemble_fused_overflow_kernel_matches_xla():
+    """The overflow-split kernel (round 5: dense slots gathered, tail
+    applied from per-block SMEM tables) must reproduce the XLA all-slots
+    assembly. Equality is to f32 addend-reorder tolerance: overflow nodes
+    accumulate dense slots first, then overflow entries."""
+    from mac_tpu.ops.banded import OV_CAP, _assemble_ut_xla
+    from mac_tpu.ops.pallas.assemble_kernel import assemble_ut_fused_ov
+
+    # Heavy-tailed upper degrees (city10000's regime): a dense loop-
+    # closure load makes du large while the tail stays thin — measured
+    # du=7 with slot occupancy [1499, 851, 283, 56, 6, 3, 1], splitting
+    # at du_dense=4 with 4 overflow rows.
+    idx, w, n = _pose_graph(n=1500, n_loops=1200, span=25, seed=3)
+    perm, inv, bw = rcm_order(idx, n)
+    bop = build_banded(inv[idx].astype(np.int32), n, dtype=jnp.float32)
+    assert bop is not None
+    assert bop.ov_rows > 0, "test graph must trigger the overflow split"
+    assert bop.ov_rows <= OV_CAP
+    assert bop.du_dense < bop.ueid_tbl.shape[0]
+    w32 = jnp.asarray(w, jnp.float32)
+    w_pad = jnp.concatenate([-w32, jnp.zeros((1,), jnp.float32)])
+    ref = np.asarray(_assemble_ut_xla(bop, w_pad[bop.ueid_tbl]))
+    got = np.asarray(assemble_ut_fused_ov(
+        bop.dcol_tbl[:bop.du_dense], w_pad[bop.ueid_tbl[:bop.du_dense]],
+        bop.ocol_tbl, bop.olane_tbl, w_pad[bop.oeid_tbl],
+        half=bop.half, nb=bop.nb, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+    # And end-to-end through assemble_bd's fused dispatch (interpret is
+    # kernel-level only, so exercise the op via the XLA-parity identity
+    # of the degree reduction instead).
+    from mac_tpu.ops.banded import assemble_bd
+    bd_x = assemble_bd(bop, w32, fused=False)
+    np.testing.assert_allclose(np.asarray(bd_x.ut), ref, rtol=0, atol=0)
+
+
 def test_assemble_fused_vmap_falls_back_to_xla():
     """vmapping the fused assembly op (budget sweeps) must route through
     the XLA batch rule and match per-lane XLA assembly."""
@@ -179,9 +215,9 @@ def test_assemble_fused_vmap_falls_back_to_xla():
     rng = np.random.RandomState(5)
     ws = jnp.asarray(0.5 + rng.rand(3, len(w)), jnp.float32)
     w_pad = jnp.concatenate([-ws, jnp.zeros((3, 1), jnp.float32)], axis=1)
-    wus = w_pad[:, bop.ueid_tbl]
-    got = jax.vmap(lambda wu: _assemble_ut_fused_op(bop, wu))(wus)
-    ref = jnp.stack([_assemble_ut_xla(bop, wus[i]) for i in range(3)])
+    got = jax.vmap(lambda wp: _assemble_ut_fused_op(bop, wp))(w_pad)
+    ref = jnp.stack([_assemble_ut_xla(bop, w_pad[i][bop.ueid_tbl])
+                     for i in range(3)])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
